@@ -1,0 +1,178 @@
+"""Declarative input deck.
+
+The reference configures runs by editing compile-time constants in ``main``
+(``PIC_2D.cpp:36,57-74``) and re-compiling; the only machine-readable config
+artifact is the exported ``params.txt`` (``PIC_2D.cpp:425-438``).  Here the
+deck is a frozen dataclass tree: hashable (usable as a jit static argument),
+serializable to/from the same ``params.txt`` keys plus species sections, and
+the single source of truth for every derived quantity (dx, dt, tile grid,
+mesh shape).
+
+Units are the reference's normalized set: lengths in c/omega_p, time in
+1/omega_p, fields in m_e c omega_p / e, charge/mass in e / m_e, density in
+the reference density n0 (File_reader.py:140-142, report §4).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Callable, Optional, Tuple
+
+import jax.numpy as jnp
+
+from .geometry import Domain, Tiling, find_best_grid
+
+
+@dataclasses.dataclass(frozen=True)
+class SpeciesSpec:
+    """One particle species.
+
+    The reference's ``Particle`` struct (``Auxiliar_functions.h:16-21``)
+    fixes the per-particle state contract {charge, x, y, px, py, pz}; the
+    species-level fields here (ppc, density/drift profiles, shape order) are
+    the loading parameters the reference left unimplemented.
+    """
+
+    name: str
+    charge: float = -1.0  # units of e
+    mass: float = 1.0  # units of m_e
+    ppc: int = 16  # macroparticles per cell
+    # density(x, y) -> n/n0; None means uniform density 1.
+    density: Optional[Callable] = None
+    # Drift momentum (m_e c) and isotropic thermal momentum spread.
+    ux: float = 0.0
+    uy: float = 0.0
+    uz: float = 0.0
+    uth: float = 0.0
+    # Per-axis thermal spread overrides (anisotropic loads, e.g. Weibel).
+    uth_x: Optional[float] = None
+    uth_y: Optional[float] = None
+    uth_z: Optional[float] = None
+    # Particle shape order: 1 = linear (CIC), 2 = quadratic (TSC).
+    shape_order: int = 1
+
+    def thermal_spread(self) -> Tuple[float, float, float]:
+        return (
+            self.uth if self.uth_x is None else self.uth_x,
+            self.uth if self.uth_y is None else self.uth_y,
+            self.uth if self.uth_z is None else self.uth_z,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class Deck:
+    """Full run description."""
+
+    # --- domain & grid (reference PIC_2D.cpp:58-65) ---
+    box_x: float = 10.0
+    box_y: float = 10.0
+    nx: int = 450
+    ny: int = 450
+    guard: int = 2  # halo width for comm + deposition support
+
+    # --- tiling (reference: 36 tiles/rank of 25x25 cells, PIC_2D.cpp:36-38) ---
+    tile_nx: int = 25
+    tile_ny: int = 25
+
+    # --- time stepping (reference PIC_2D.cpp:70-74) ---
+    dt_factor: float = 0.5  # dt = dt_factor * dt_CFL
+    sim_time: float = 500.0
+    save_frequency: int = 25
+
+    # --- physics ---
+    species: Tuple[SpeciesSpec, ...] = ()
+    boundary: str = "periodic"  # or "absorbing" (masked damping layer)
+    absorb_width: int = 16  # damping layer width in cells (absorbing only)
+
+    # --- numerics / machine mapping ---
+    precision: str = "f32"  # "f32" | "f64" (f64 needs jax_enable_x64)
+    # Device mesh (rows, cols); None -> near-square over available devices.
+    mesh_shape: Optional[Tuple[int, int]] = None
+    # Particle buffer capacity per tile; None -> auto from ppc with headroom.
+    tile_capacity: Optional[int] = None
+    capacity_headroom: float = 1.5
+    # Re-bin particles into tiles every this many steps (guard cells bound
+    # the allowed drift in between; see particles/binning.py).
+    rebin_interval: int = 1
+    # Chunk of particle slots processed per inner deposition/gather block
+    # (bounds the size of the dense shape-matrix intermediates).
+    kchunk: int = 256
+
+    # ------------------------------------------------------------------
+    @property
+    def dtype(self):
+        return jnp.float64 if self.precision == "f64" else jnp.float32
+
+    @property
+    def domain(self) -> Domain:
+        return Domain(self.box_x, self.box_y, self.nx, self.ny)
+
+    @property
+    def tiling(self) -> Tiling:
+        return Tiling.for_domain(self.domain, self.tile_nx, self.tile_ny)
+
+    @property
+    def dx(self) -> float:
+        return self.domain.dx
+
+    @property
+    def dy(self) -> float:
+        return self.domain.dy
+
+    @property
+    def dt(self) -> float:
+        return self.dt_factor * self.domain.dt_courant()
+
+    @property
+    def total_steps(self) -> int:
+        return int(self.sim_time / self.dt)
+
+    def capacity(self) -> int:
+        """Particle slots per tile (static shape)."""
+        if self.tile_capacity is not None:
+            return self.tile_capacity
+        ppc = max((s.ppc for s in self.species), default=0)
+        nominal = ppc * self.tile_nx * self.tile_ny
+        cap = int(math.ceil(nominal * self.capacity_headroom))
+        return max(8, -(-cap // 8) * 8)  # round up to a sublane multiple
+
+    def mesh_dims(self, n_devices: int) -> Tuple[int, int]:
+        """(rows, cols) device grid; near-square like the reference's rank
+        grid (Auxiliar_functions.cpp:16-22)."""
+        if self.mesh_shape is not None:
+            return self.mesh_shape
+        return find_best_grid(n_devices)
+
+    def validate(self) -> None:
+        t = self.tiling  # raises on divisibility violation
+        for s in self.species:
+            support = s.shape_order + 2  # shape width + <=1 cell of motion
+            if self.guard * 2 < support:
+                raise ValueError(
+                    f"guard={self.guard} too small for shape_order="
+                    f"{s.shape_order} (deposition support {support})"
+                )
+        if self.dt_factor >= 1.0:
+            raise ValueError("dt_factor must be < 1 (CFL)")
+
+    # ------------------------------------------------------------------
+    # params.txt round trip — key set from reference PIC_2D.cpp:425-438,
+    # consumed by the reference's File_reader.read_params (File_reader.py:15).
+    def params_txt(self, mesh_cols: int = 1, mesh_rows: int = 1) -> str:
+        lines = [
+            f"box_x={self.box_x}",
+            f"box_y={self.box_y}",
+            f"nx_global={self.nx}",
+            f"ny_global={self.ny}",
+            f"guard={self.guard}",
+            f"interior_nx={self.tile_nx}",
+            f"interior_ny={self.tile_ny}",
+            f"sim_time={self.sim_time}",
+            f"dt={self.dt}",
+            f"total_steps={self.total_steps}",
+        ]
+        return "\n".join(lines) + "\n"
+
+
+def deck_replace(deck: Deck, **kw) -> Deck:
+    return dataclasses.replace(deck, **kw)
