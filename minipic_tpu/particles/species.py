@@ -1,0 +1,115 @@
+"""Species loading: quiet-start lattice positions, profile weights, thermal
+momenta.
+
+The reference declares the per-particle contract (Particle struct,
+Auxiliar_functions.h:16-21) and a per-tile particle container
+(Tile.particles, :38-42) but never loads particles (SURVEY.md §0).  This
+module is the loader its design implies, TPU-style:
+
+* Positions: a deterministic per-cell lattice ("quiet start") — ppc
+  macroparticles at (i + (m+1/2)/ppc_x, j + (n+1/2)/ppc_y), which loads a
+  noise-free uniform plasma (important for clean instability growth-rate
+  benchmarks).
+* Density profiles become *weights*, not particle counts: w = n(x,y) dxdy /
+  ppc.  Static shapes everywhere — vacuum regions carry w=0 slots rather
+  than fewer particles.  (The count-based loader for load-balance stress
+  lives in decks/.)
+* Momenta: drift + per-axis Gaussian thermal spread via jax.random,
+  one independent key per species.
+
+Normalization: with w = n dxdy / ppc, depositing rho = sum q w S / (dxdy)
+over a uniform density-1 electron load gives rho = -1 per cell — matching
+the field normalization (omega_p^2 = n0 = 1).
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import SpeciesSpec
+from ..core.geometry import Domain, Tiling
+from ..core.state import ParticleState
+
+
+def _lattice_factors(ppc: int) -> Tuple[int, int]:
+    a = int(math.isqrt(ppc))
+    while ppc % a != 0:
+        a -= 1
+    return a, ppc // a  # (per-x, per-y)
+
+
+def load_species(
+    spec: SpeciesSpec,
+    domain: Domain,
+    tiling: Tiling,
+    capacity: int,
+    key: jax.Array,
+    dtype=jnp.float32,
+) -> ParticleState:
+    """Build a tile-bucketed ParticleState for one species."""
+    ppc_x, ppc_y = _lattice_factors(spec.ppc)
+    nxt, nyt = tiling.tile_nx, tiling.tile_ny
+    per_tile = spec.ppc * nxt * nyt
+    if per_tile > capacity:
+        raise ValueError(f"capacity {capacity} < ppc*tile cells = {per_tile}")
+    t_total = tiling.num_tiles
+
+    # Slot layout within a tile: slot = ((cy*nxt + cx)*ppc_y + m)*ppc_x + l
+    slots = jnp.arange(per_tile)
+    l = slots % ppc_x
+    m = (slots // ppc_x) % ppc_y
+    cell = slots // (ppc_x * ppc_y)
+    cx = cell % nxt
+    cy = cell // nxt
+    # Tile-local lattice positions (cell units)
+    xi = cx.astype(dtype) + (l.astype(dtype) + 0.5) / ppc_x
+    eta = cy.astype(dtype) + (m.astype(dtype) + 0.5) / ppc_y
+
+    # Global positions per tile
+    trow = (jnp.arange(t_total) // tiling.tile_cols).astype(dtype)[:, None]
+    tcol = (jnp.arange(t_total) % tiling.tile_cols).astype(dtype)[:, None]
+    x = tcol * nxt + xi[None, :]  # [T, per_tile]
+    y = trow * nyt + eta[None, :]
+
+    # Weights from the density profile evaluated at physical coordinates.
+    if spec.density is None:
+        n = jnp.ones_like(x)
+    else:
+        n = jnp.asarray(spec.density(x * domain.dx, y * domain.dy), dtype)
+    w = n * (domain.dx * domain.dy / spec.ppc)
+
+    # Momenta: drift + thermal.
+    kx, ky, kz = jax.random.split(key, 3)
+    ux, uy, uz = spec.thermal_spread()
+    shape = (t_total, per_tile)
+
+    def mom(k, uth, drift):
+        base = jax.random.normal(k, shape, dtype) * uth if uth > 0 else jnp.zeros(shape, dtype)
+        return base + drift
+
+    px = mom(kx, ux, spec.ux)
+    py = mom(ky, uy, spec.uy)
+    pz = mom(kz, uz, spec.uz)
+
+    def pad(a):
+        return jnp.pad(a.astype(dtype), ((0, 0), (0, capacity - per_tile)))
+
+    return ParticleState(pad(x), pad(y), pad(px), pad(py), pad(pz), pad(w))
+
+
+def counter_streaming_pair(
+    spec: SpeciesSpec, drift: float, domain: Domain, tiling: Tiling, capacity: int, key: jax.Array, dtype=jnp.float32
+):
+    """Two half-density beams at ±drift — the two-stream fixture
+    (BASELINE.json config 1)."""
+    import dataclasses
+
+    half = dataclasses.replace(spec, ux=drift)
+    k1, k2 = jax.random.split(key)
+    a = load_species(half, domain, tiling, capacity, k1, dtype)
+    b = load_species(dataclasses.replace(spec, ux=-drift), domain, tiling, capacity, k2, dtype)
+    # Halve the weights so the pair sums to the nominal density.
+    return a._replace(w=a.w * 0.5), b._replace(w=b.w * 0.5)

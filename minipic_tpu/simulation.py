@@ -1,0 +1,266 @@
+"""Single-device simulation driver: the full PIC step, jitted.
+
+This is the TPU re-expression of the reference's main time loop
+(PIC_2D.cpp:171-420, phases A-H) completed with the particle stages its
+report designed for (Mini_PIC_2D_Report.pdf Fig. 1):
+
+  reference phase                      here
+  ---------------------------------   -----------------------------------
+  (missing) field interpolation        gather_chunk (matmul, MXU)
+  (missing) particle advance           boris_push + advance_positions (VPU)
+  (missing) current deposition         deposit_chunk (Esirkepov, MXU)
+  A  updateBhalf                       update_b_half_periodic
+  B  guard exchange (MPI)              pad_fields_periodic / extract_tiles
+  C  updateEfull                       update_e_full_periodic (+J term)
+  D/F guard exchanges                  implicit (roll stencils)
+  G  tile migration (load balance)     rebin (sort into tile buckets)
+  H  HDF5 save                         io.hdf5 (outside the jitted step)
+
+Step ordering (leapfrog, E/B synchronized at integer steps — the
+reference's two-half-B scheme):
+
+  1. halo-pad fields at t^n, slice per-tile windows
+  2. per species, scanned over capacity chunks:
+       gather E^n,B^n -> Boris u^{n-1/2}->u^{n+1/2} -> move x^n->x^{n+1}
+       -> Esirkepov J^{n+1/2} tile contributions
+  3. fold J tiles -> global J
+  4. B^n -> B^{n+1/2} -> E^{n+1} (with J) -> B^{n+1}
+  5. boundary-wrap positions; re-bin every rebin_interval steps
+
+The per-species chunk scan bounds the dense shape-matrix intermediates to
+[T, kchunk, tile+2g] (deck.kchunk) so the pipeline stays in cache-friendly
+blocks while every inner op is a batched matmul or fused VPU elementwise.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .core.config import Deck
+from .core.state import CurrentState, FieldState, ParticleState, SimState, field_energy, kinetic_energy
+from .fields import init as finit
+from .fields.boundary import apply_damping, damping_mask
+from .fields.halo import fold_block_periodic, pad_fields_periodic
+from .fields.tiles import extract_field_tiles, fold_tiles
+from .fields.yee import update_b_half_periodic, update_e_full_periodic
+from .particles.binning import rebin, tile_counts, wrap_positions
+from .particles.deposit import deposit_chunk
+from .particles.gather import gather_chunk
+from .particles.push import advance_positions, boris_push, velocities
+from .particles.species import load_species
+
+
+class StepDiag(NamedTuple):
+    """Per-step on-device observables (SURVEY.md §5: the reference had no
+    runtime metrics; these double as the energy-conservation diagnostic)."""
+
+    field_energy: jax.Array
+    kinetic_energy: jax.Array  # [n_species]
+    overflow: jax.Array  # particles dropped at rebin
+
+
+def _tile_origins(tiling, dtype):
+    t = jnp.arange(tiling.num_tiles)
+    ox = (t % tiling.tile_cols).astype(dtype)[:, None] * tiling.tile_nx
+    oy = (t // tiling.tile_cols).astype(dtype)[:, None] * tiling.tile_ny
+    return ox, oy
+
+
+def advance_species_tiles(
+    p: ParticleState,
+    ftiles: FieldState,
+    *,
+    qm: float,
+    q: float,
+    order: int,
+    tiling,
+    g: int,
+    dt: float,
+    dx: float,
+    dy: float,
+    kchunk: int,
+) -> Tuple[ParticleState, Tuple[jax.Array, jax.Array, jax.Array]]:
+    """Gather + push + move + deposit for one species over its tile
+    buffers, scanned in slot chunks.  Returns the pushed particles
+    (positions unwrapped) and this species' J tile stack."""
+    t_total, cap = p.num_tiles, p.capacity
+    kc = kchunk if cap % kchunk == 0 else cap
+    nc = cap // kc
+    nxt, nyt = tiling.tile_nx, tiling.tile_ny
+    ox, oy = _tile_origins(tiling, p.x.dtype)
+
+    def chunked(a):  # [T, cap] -> [nc, T, kc]
+        return a.reshape(t_total, nc, kc).transpose(1, 0, 2)
+
+    xs = jax.tree_util.tree_map(chunked, p)
+    nyg, nxg = nyt + 2 * g, nxt + 2 * g
+    j0 = (
+        jnp.zeros((t_total, nyg, nxg), p.x.dtype),
+        jnp.zeros((t_total, nyg, nxg), p.x.dtype),
+        jnp.zeros((t_total, nyg, nxg), p.x.dtype),
+    )
+
+    def body(carry, chunk: ParticleState):
+        jx, jy, jz = carry
+        xi0 = chunk.x - ox
+        eta0 = chunk.y - oy
+        ef = gather_chunk(ftiles, xi0, eta0, nyt, nxt, g, order)
+        px, py, pz = boris_push(
+            chunk.px, chunk.py, chunk.pz, ef.ex, ef.ey, ef.ez, ef.bx, ef.by, ef.bz, qm, dt
+        )
+        x1, y1 = advance_positions(chunk.x, chunk.y, px, py, pz, dt, dx, dy)
+        _, _, vz = velocities(px, py, pz)
+        djx, djy, djz = deposit_chunk(
+            xi0, eta0, x1 - ox, y1 - oy, vz, q * chunk.w, nyt, nxt, g, order, dt, dx, dy
+        )
+        out = ParticleState(x1, y1, px, py, pz, chunk.w)
+        return (jx + djx, jy + djy, jz + djz), out
+
+    (jx, jy, jz), ys = jax.lax.scan(body, j0, xs)
+
+    def unchunk(a):  # [nc, T, kc] -> [T, cap]
+        return a.transpose(1, 0, 2).reshape(t_total, cap)
+
+    return jax.tree_util.tree_map(unchunk, ys), (jx, jy, jz)
+
+
+def build_step(deck: Deck):
+    """Compile-ready step function SimState -> (SimState, StepDiag)."""
+    deck.validate()
+    tiling = deck.tiling
+    g = deck.guard
+    dt, dx, dy = deck.dt, deck.dx, deck.dy
+    periodic = deck.boundary == "periodic"
+    mask = (
+        None
+        if periodic
+        else damping_mask(deck.ny, deck.nx, deck.absorb_width, dtype=deck.dtype)
+    )
+
+    def step(state: SimState) -> Tuple[SimState, StepDiag]:
+        f = state.fields
+        fpad = pad_fields_periodic(f, g)
+        ftiles = extract_field_tiles(
+            fpad, tiling.tile_rows, tiling.tile_cols, tiling.tile_ny, tiling.tile_nx, g
+        )
+
+        new_species = []
+        jx = jy = jz = None
+        kes = []
+        for spec, p in zip(deck.species, state.species):
+            pnew, (sjx, sjy, sjz) = advance_species_tiles(
+                p,
+                ftiles,
+                qm=spec.charge / spec.mass,
+                q=spec.charge,
+                order=spec.shape_order,
+                tiling=tiling,
+                g=g,
+                dt=dt,
+                dx=dx,
+                dy=dy,
+                kchunk=deck.kchunk,
+            )
+            jx = sjx if jx is None else jx + sjx
+            jy = sjy if jy is None else jy + sjy
+            jz = sjz if jz is None else jz + sjz
+            new_species.append(pnew)
+            kes.append(kinetic_energy(pnew, spec.mass))
+
+        if jx is not None:
+            def to_global(t):
+                tr = t.reshape(
+                    tiling.tile_rows, tiling.tile_cols, tiling.tile_ny + 2 * g, tiling.tile_nx + 2 * g
+                )
+                return fold_block_periodic(fold_tiles(tr, tiling.tile_ny, tiling.tile_nx, g), g)
+
+            j = CurrentState(to_global(jx), to_global(jy), to_global(jz))
+        else:
+            j = None
+
+        f = update_b_half_periodic(f, dt, dx, dy)
+        f = update_e_full_periodic(f, dt, dx, dy, j)
+        f = update_b_half_periodic(f, dt, dx, dy)
+        if mask is not None:
+            f = apply_damping(f, mask)
+
+        overflow = jnp.zeros((), jnp.int32)
+        binned = []
+        for p in new_species:
+            p = wrap_positions(p, deck.nx, deck.ny, periodic)
+            if deck.rebin_interval == 1:
+                p, ov = rebin(p, tiling)
+            else:
+                def do(pp):
+                    return rebin(pp, tiling)
+
+                def skip(pp):
+                    return pp, jnp.zeros((), jnp.int32)
+
+                p, ov = jax.lax.cond(
+                    state.step % deck.rebin_interval == 0, do, skip, p
+                )
+            overflow = overflow + ov
+            binned.append(p)
+
+        diag = StepDiag(
+            field_energy=field_energy(f, dx, dy),
+            kinetic_energy=jnp.stack(kes) if kes else jnp.zeros((0,), deck.dtype),
+            overflow=overflow,
+        )
+        new_state = SimState(fields=f, species=tuple(binned), step=state.step + 1)
+        return new_state, diag
+
+    return step
+
+
+# ----------------------------------------------------------------------
+
+
+class Simulation:
+    """User-facing driver (the reference's `main` PIC_2D.cpp:22-463, minus
+    the MPI boilerplate).  Holds a deck, builds initial state, owns the
+    jitted step.  IO/diagnostics live outside the jit boundary."""
+
+    def __init__(self, deck: Deck, fields: Optional[FieldState] = None, seed: int = 0):
+        deck.validate()
+        self.deck = deck
+        tiling = deck.tiling
+        cap = deck.capacity()
+        if cap % deck.kchunk:
+            cap = -(-cap // deck.kchunk) * deck.kchunk
+        key = jax.random.PRNGKey(seed)
+        species = []
+        for i, spec in enumerate(deck.species):
+            species.append(
+                load_species(
+                    spec, deck.domain, tiling, cap, jax.random.fold_in(key, i), deck.dtype
+                )
+            )
+        if fields is None:
+            fields = FieldState.zeros(deck.ny, deck.nx, deck.dtype)
+        self.state = SimState(fields=fields, species=tuple(species), step=jnp.zeros((), jnp.int32))
+        self._step = jax.jit(build_step(deck))
+
+    def step(self, n: int = 1) -> StepDiag:
+        diag = None
+        for _ in range(n):
+            self.state, diag = self._step(self.state)
+        return diag
+
+    def run(self, n_steps: Optional[int] = None, save_every: Optional[int] = None, saver=None):
+        """Run the deck; call `saver(state, step)` on the save cadence
+        (reference Phase H, PIC_2D.cpp:414-419)."""
+        n_steps = n_steps if n_steps is not None else self.deck.total_steps
+        save_every = save_every if save_every is not None else self.deck.save_frequency
+        if saver is not None:
+            saver(self.state, 0)
+        diag = None
+        for i in range(1, n_steps + 1):
+            self.state, diag = self._step(self.state)
+            if saver is not None and i % save_every == 0:
+                saver(self.state, i)
+        return diag
