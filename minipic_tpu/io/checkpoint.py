@@ -1,0 +1,60 @@
+"""Round-trippable checkpoints (restart capability).
+
+The reference persists full field state every save step but has **no load
+path** — snapshots are write-only (SURVEY.md §5).  Here the full SimState
+is a pytree, so checkpoint/resume is save-arrays/load-arrays:
+
+* ``save_checkpoint``/``load_checkpoint``: single-file .npz of every leaf
+  (fields, all species buffers, step counter) — exact-restart fidelity,
+  including f64 runs.
+* Restarting from reference-schema HDF5 snapshots alone is also possible
+  for field-only runs via ``fields_from_snapshot``.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import Deck
+from ..core.state import FieldState, ParticleState, SimState
+
+
+def save_checkpoint(path: str, state: SimState) -> None:
+    arrays = {f"fields_{n}": np.asarray(getattr(state.fields, n)) for n in state.fields._fields}
+    for i, sp in enumerate(state.species):
+        for n in sp._fields:
+            arrays[f"sp{i}_{n}"] = np.asarray(getattr(sp, n))
+    arrays["step"] = np.asarray(state.step)
+    arrays["n_species"] = np.asarray(len(state.species))
+    np.savez(path, **arrays)
+
+
+def load_checkpoint(path: str) -> SimState:
+    z = np.load(path)
+    fields = FieldState(*(jnp.asarray(z[f"fields_{n}"]) for n in FieldState._fields))
+    species = tuple(
+        ParticleState(*(jnp.asarray(z[f"sp{i}_{n}"]) for n in ParticleState._fields))
+        for i in range(int(z["n_species"]))
+    )
+    return SimState(fields=fields, species=species, step=jnp.asarray(z["step"]))
+
+
+def fields_from_snapshot(step: int, folder: str, deck: Deck) -> FieldState:
+    """Rebuild a FieldState from a reference-schema HDF5 snapshot (what the
+    reference itself could never do — SURVEY.md §5 checkpoint/resume)."""
+    from .hdf5 import load_field
+
+    kw = dict(
+        nx_global=deck.nx,
+        ny_global=deck.ny,
+        guard=deck.guard,
+        interior_nx=deck.tile_nx,
+        interior_ny=deck.tile_ny,
+    )
+    comps = {
+        n: jnp.asarray(load_field(step, folder, q, **kw), deck.dtype)
+        for n, q in (("ex", "Ex"), ("ey", "Ey"), ("ez", "Ez"), ("bx", "Bx"), ("by", "By"), ("bz", "Bz"))
+    }
+    return FieldState(**comps)
