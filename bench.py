@@ -1,0 +1,96 @@
+"""Headline benchmark: particle pushes/sec/chip.
+
+BASELINE.json metric: pushes/sec/chip at 1e8 particles on a 512^2 grid
+(target >= 1e9 on v5e).  Runs on whatever one chip `jax.devices()[0]` is;
+falls back to smaller particle counts if memory-constrained.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import math
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def build(n_particles: int, grid: int, rebin_interval: int):
+    from minipic_tpu.core.config import Deck, SpeciesSpec
+    from minipic_tpu.simulation import Simulation, build_step
+
+    ppc = max(1, round(n_particles / grid**2))
+    deck = Deck(
+        box_x=float(grid) / 10.0,
+        box_y=float(grid) / 10.0,
+        nx=grid,
+        ny=grid,
+        tile_nx=16,
+        tile_ny=16,
+        guard=3,  # lets particles drift 2 cells -> re-bin every 4 steps
+        species=(
+            SpeciesSpec("ele", charge=-1.0, mass=1.0, ppc=ppc, uth=0.05),
+            # Immobile neutralizing background is implied (uniform density);
+            # a single mobile species keeps the metric = pushes of 1e8.
+        ),
+        precision="f32",
+        rebin_interval=rebin_interval,
+        capacity_headroom=1.05,  # uniform load: tight slack fits 1e8 in HBM
+        kchunk=512,
+    )
+    sim = Simulation(deck)
+    step = build_step(deck)
+
+    def multi(state, n):
+        def body(s, _):
+            s2, _diag = step(s)
+            return s2, ()
+
+        s, _ = jax.lax.scan(body, state, None, length=n)
+        return s
+
+    # NOTE: buffer donation would halve peak memory here, but the axon
+    # remote backend rejects donated aliasing (InvalidArgument) — rely on
+    # dropping host references + capacity slack instead.
+    return sim, jax.jit(multi, static_argnums=1), deck
+
+
+def main():
+    grid = int(os.environ.get("BENCH_GRID", 512))
+    target_particles = float(os.environ.get("BENCH_PARTICLES", 1e8))
+    rebin_interval = int(os.environ.get("BENCH_REBIN", 4))
+    inner = int(os.environ.get("BENCH_STEPS", 10))
+
+    for n_try in (target_particles, target_particles / 2, target_particles / 4, 1e7):
+        try:
+            sim, multi, deck = build(int(n_try), grid, rebin_interval)
+            n_real = sum(int(s.alive_count()) for s in sim.state.species)
+            state0, sim.state = sim.state, None  # drop the extra reference
+            state = multi(state0, inner)  # compile + warm up
+            float(state.fields.ex.sum())  # force full sync (axon's
+            # block_until_ready does not actually block on remote buffers)
+            t0 = time.perf_counter()
+            state = multi(state, inner)
+            float(state.fields.ex.sum())
+            dt_wall = time.perf_counter() - t0
+            pushes = n_real * inner / dt_wall
+            out = {
+                "metric": "particle-pushes/sec/chip (%.1e particles, %d^2 grid)"
+                % (n_real, grid),
+                "value": pushes,
+                "unit": "pushes/s",
+                "vs_baseline": pushes / 1e9,
+            }
+            print(json.dumps(out))
+            return
+        except Exception as e:  # OOM fallback ladder
+            err = e
+            continue
+    print(json.dumps({"metric": "bench-failed", "value": 0, "unit": "pushes/s",
+                      "vs_baseline": 0, "error": str(err)[:300]}))
+    sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -97,6 +97,21 @@ class Deck:
     # Chunk of particle slots processed per inner deposition/gather block
     # (bounds the size of the dense shape-matrix intermediates).
     kchunk: int = 256
+    # Per-direction cross-shard particle exchange buffer capacity (slots);
+    # None -> auto from tile capacity.  Only the shard-boundary tiles feed
+    # these, so a fraction of one tile's capacity suffices.
+    exchange_capacity: Optional[int] = None
+
+    def exchange_cap(self, block_ny: int, block_nx: int) -> int:
+        """Per-direction routing buffer size.  Worst case is bursty: a quiet-
+        start lattice sends a whole boundary column/row of a shard across in
+        one step — edge_cells * ppc particles simultaneously — so the buffer
+        scales with the shard edge length, with 2x headroom."""
+        if self.exchange_capacity is not None:
+            return self.exchange_capacity
+        ppc = max((s.ppc for s in self.species), default=1)
+        burst = max(block_ny, block_nx) * ppc * 2
+        return max(64, -(-burst // 8) * 8)
 
     # ------------------------------------------------------------------
     @property
@@ -154,6 +169,17 @@ class Deck:
                 )
         if self.dt_factor >= 1.0:
             raise ValueError("dt_factor must be < 1 (CFL)")
+        if self.species and self.rebin_interval > 1:
+            # Between re-binning passes a particle may drift from its stale
+            # tile; its full shape support must stay inside the guard band.
+            max_drift = self.rebin_interval * self.dt / min(self.dx, self.dy)
+            max_order = max(s.shape_order for s in self.species)
+            slack = self.guard - 1 if max_order == 1 else self.guard - 1.5
+            if max_drift > slack:
+                raise ValueError(
+                    f"rebin_interval={self.rebin_interval} allows {max_drift:.2f} "
+                    f"cells of drift but guard={self.guard} only tolerates {slack}"
+                )
 
     # ------------------------------------------------------------------
     # params.txt round trip — key set from reference PIC_2D.cpp:425-438,

@@ -16,16 +16,26 @@ import jax.numpy as jnp
 from ..core.state import FieldState
 
 
+def ramp(global_idx, n: int, width: int, strength: float):
+    """1-D damping ramp evaluated at (possibly shard-offset) global indices."""
+    d = jnp.minimum(global_idx, n - 1 - global_idx)  # distance to nearest wall
+    u = jnp.clip((width - d) / width, 0.0, 1.0)
+    return 1.0 - strength * u**3
+
+
 def damping_mask(ny: int, nx: int, width: int, strength: float = 0.02, dtype=jnp.float32):
     """(ny, nx) multiplicative mask, polynomial ramp in a `width`-cell layer."""
+    ry = ramp(jnp.arange(ny, dtype=dtype), ny, width, strength)
+    rx = ramp(jnp.arange(nx, dtype=dtype), nx, width, strength)
+    return ry[:, None] * rx[None, :]
 
-    def ramp(n):
-        idx = jnp.arange(n, dtype=dtype)
-        d = jnp.minimum(idx, n - 1 - idx)  # distance to nearest wall
-        u = jnp.clip((width - d) / width, 0.0, 1.0)
-        return 1.0 - strength * u**3
 
-    return ramp(ny)[:, None] * ramp(nx)[None, :]
+def local_damping_mask(y0, x0, ny_l: int, nx_l: int, ny: int, nx: int, width: int, strength: float = 0.02, dtype=jnp.float32):
+    """Shard-local slice of the global mask, computed analytically from the
+    shard's cell offsets (usable inside shard_map with traced offsets)."""
+    ry = ramp(y0 + jnp.arange(ny_l, dtype=dtype), ny, width, strength)
+    rx = ramp(x0 + jnp.arange(nx_l, dtype=dtype), nx, width, strength)
+    return ry[:, None] * rx[None, :]
 
 
 def apply_damping(f: FieldState, mask) -> FieldState:

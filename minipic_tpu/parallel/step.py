@@ -1,0 +1,257 @@
+"""Sharded PIC step: shard_map over the 2-D device mesh.
+
+Per-chip program (mirrors the single-device step in simulation.py, with the
+reference's three MPI guard rounds, PIC_2D.cpp:198-396, becoming three
+ppermute exchanges over ICI):
+
+  1. one 6-component halo exchange (fields at t^n) -> padded block
+  2. tile windows -> gather/Boris/move/Esirkepov (local MXU work)
+  3. fold J tiles -> fold_halo (cross-chip guard reduction, additive)
+  4. B half (block stencil) -> exchange B -> E full (+J) -> exchange E
+     -> B half
+  5. wrap positions -> ship off-shard particles (exchange_particles)
+     -> local re-binning sort
+
+Diagnostics are psum-reduced so every chip returns identical replicated
+scalars (the reference's rank-0 prints, minus the rank).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.config import Deck
+from ..core.state import (
+    CurrentState,
+    FieldState,
+    ParticleState,
+    SimState,
+    field_energy,
+    kinetic_energy,
+)
+from ..fields.boundary import local_damping_mask
+from ..fields.tiles import extract_field_tiles, fold_tiles
+from ..fields.yee import update_b_half_block, update_e_full_block
+from ..particles.binning import rebin_flat, wrap_positions
+from ..particles.species import load_species
+from ..simulation import StepDiag, advance_species_tiles
+from .exchange import exchange_particles
+from .halo import exchange_halo, fold_halo
+from .mesh import field_spec, local_tile_grid, make_mesh, particle_spec, shard_shape
+
+
+def build_sharded_step(deck: Deck, mesh: Mesh):
+    deck.validate()
+    rows, cols = mesh.devices.shape
+    g = deck.guard
+    dt, dx, dy = deck.dt, deck.dx, deck.dy
+    tiling = deck.tiling
+    nyt, nxt = tiling.tile_ny, tiling.tile_nx
+    ltr, ltc = local_tile_grid(deck, mesh)  # local tile grid per shard
+    ny_l, nx_l = shard_shape(deck, mesh)
+    periodic = deck.boundary == "periodic"
+    t_local = ltr * ltc
+    xcap = deck.exchange_cap(ny_l, nx_l)
+
+    fspec = FieldState(*(field_spec(),) * 6)
+    pspec = ParticleState(*(particle_spec(),) * 6)
+    n_sp = len(deck.species)
+
+    def local_step(f: FieldState, species, step):
+        # Shard coordinates -> global offsets (traced scalars).
+        myrow = lax.axis_index("ry")
+        mycol = lax.axis_index("rx")
+        y0 = myrow * ny_l  # cell offset of this shard's block
+        x0 = mycol * nx_l
+        trow0 = myrow * ltr  # tile offset
+        tcol0 = mycol * ltc
+
+        # --- 1. fields at t^n, one stacked halo exchange ---
+        stacked = jnp.stack(tuple(f))  # [6, ny_l, nx_l]
+        padded = exchange_halo(stacked, g, rows, cols)
+        fpad = FieldState(*padded)
+        ftiles = extract_field_tiles(fpad, ltr, ltc, nyt, nxt, g)
+
+        # Global tile origins for local tile t (cell units).
+        tl = jnp.arange(t_local)
+        ox = ((tcol0 + tl % ltc) * nxt).astype(deck.dtype)[:, None]
+        oy = ((trow0 + tl // ltc) * nyt).astype(deck.dtype)[:, None]
+
+        # --- 2. particles ---
+        new_species = []
+        jx = jy = jz = None
+        kes = []
+        for spec, p in zip(deck.species, species):
+            pnew, (sjx, sjy, sjz) = advance_species_tiles(
+                p,
+                ftiles,
+                qm=spec.charge / spec.mass,
+                q=spec.charge,
+                order=spec.shape_order,
+                tile_ny=nyt,
+                tile_nx=nxt,
+                origins=(ox, oy),
+                g=g,
+                dt=dt,
+                dx=dx,
+                dy=dy,
+                kchunk=deck.kchunk,
+                vma_axes=("ry", "rx"),
+            )
+            jx = sjx if jx is None else jx + sjx
+            jy = sjy if jy is None else jy + sjy
+            jz = sjz if jz is None else jz + sjz
+            new_species.append(pnew)
+            kes.append(lax.psum(kinetic_energy(pnew, spec.mass), ("ry", "rx")))
+
+        # --- 3. current: fold tiles locally, then guard rings across chips
+        if jx is not None:
+            jt = jnp.stack([jx, jy, jz]).reshape(3, ltr, ltc, nyt + 2 * g, nxt + 2 * g)
+            jpad = jax.vmap(lambda t: fold_tiles(t, nyt, nxt, g))(jt)
+            jblk = fold_halo(jpad, g, rows, cols)  # [3, ny_l, nx_l]
+            j = CurrentState(jblk[0], jblk[1], jblk[2])
+        else:
+            j = None
+
+        # --- 4. Yee updates with per-phase exchanges (reference phases A-F)
+        fpad = update_b_half_block(fpad, g, dt, dx, dy)
+        bpad = exchange_halo(jnp.stack([fpad.bx, fpad.by, fpad.bz])[..., g:-g, g:-g], g, rows, cols)
+        fpad = FieldState(fpad.ex, fpad.ey, fpad.ez, *bpad)
+        fpad = update_e_full_block(fpad, g, dt, dx, dy, j)
+        epad = exchange_halo(jnp.stack([fpad.ex, fpad.ey, fpad.ez])[..., g:-g, g:-g], g, rows, cols)
+        fpad = FieldState(*epad, fpad.bx, fpad.by, fpad.bz)
+        fpad = update_b_half_block(fpad, g, dt, dx, dy)
+        fnew = FieldState(*(c[g:-g, g:-g] for c in fpad))
+        if not periodic:
+            mask = local_damping_mask(
+                y0, x0, ny_l, nx_l, deck.ny, deck.nx, deck.absorb_width, dtype=deck.dtype
+            )
+            fnew = FieldState(*(c * mask for c in fnew))
+
+        fe = lax.psum(field_energy(fnew, dx, dy), ("ry", "rx"))
+
+        # --- 5. wrap, route across shards, re-bin ---
+        overflow = jnp.zeros((), jnp.int32)
+        binned = []
+        for p in new_species:
+            p = wrap_positions(p, deck.nx, deck.ny, periodic)
+
+            def do_rebin(pp):
+                merged, dropped = exchange_particles(
+                    pp,
+                    block_x0=x0,
+                    block_y0=y0,
+                    block_nx=nx_l,
+                    block_ny=ny_l,
+                    nx=deck.nx,
+                    ny=deck.ny,
+                    rows=rows,
+                    cols=cols,
+                    cap=xcap,
+                )
+                out, ov = rebin_flat(
+                    merged,
+                    tile_rows=ltr,
+                    tile_cols=ltc,
+                    tile_nx=nxt,
+                    tile_ny=nyt,
+                    capacity=pp.capacity,
+                    row0=trow0,
+                    col0=tcol0,
+                )
+                return out, ov + dropped
+
+            if deck.rebin_interval == 1:
+                p, ov = do_rebin(p)
+            else:
+                p, ov = lax.cond(
+                    step % deck.rebin_interval == 0,
+                    do_rebin,
+                    lambda pp: (pp, jnp.zeros((), jnp.int32)),
+                    p,
+                )
+            overflow = overflow + lax.psum(ov, ("ry", "rx"))
+            binned.append(p)
+
+        diag = StepDiag(
+            field_energy=fe,
+            kinetic_energy=jnp.stack(kes) if kes else jnp.zeros((0,), deck.dtype),
+            overflow=overflow,
+        )
+        return fnew, tuple(binned), diag
+
+    in_specs = (fspec, (pspec,) * n_sp, P())
+    out_specs = (fspec, (pspec,) * n_sp, StepDiag(P(), P(), P()))
+
+    smapped = jax.shard_map(
+        local_step, mesh=mesh, in_specs=in_specs, out_specs=out_specs
+    )
+
+    def step(state: SimState):
+        fnew, species, diag = smapped(state.fields, state.species, state.step)
+        return SimState(fields=fnew, species=species, step=state.step + 1), diag
+
+    return step
+
+
+# ----------------------------------------------------------------------
+# Shard-major particle ordering helpers.
+# Global tile GID is row-major over the whole grid (reference
+# Auxiliar_functions.cpp:44); sharded particle buffers use shard-major
+# order (shard_id * t_local + local_tile) so P(('ry','rx'), None) puts each
+# tile's bucket on the chip that owns its field block.
+
+
+def shard_major_permutation(deck: Deck, mesh: Mesh) -> np.ndarray:
+    """perm[shard_major_index] = gid; use to reorder [T, K] arrays."""
+    rows, cols = mesh.devices.shape
+    ltr, ltc = local_tile_grid(deck, mesh)
+    t = deck.tiling
+    out = np.empty(t.num_tiles, np.int64)
+    i = 0
+    for sr in range(rows):
+        for sc in range(cols):
+            for lr in range(ltr):
+                for lc in range(ltc):
+                    out[i] = (sr * ltr + lr) * t.tile_cols + (sc * ltc + lc)
+                    i += 1
+    return out
+
+
+class ShardedSimulation:
+    """Multi-chip driver mirroring simulation.Simulation."""
+
+    def __init__(self, deck: Deck, fields: Optional[FieldState] = None, seed: int = 0, devices=None):
+        deck.validate()
+        self.deck = deck
+        self.mesh = make_mesh(deck, devices)
+        cap = deck.capacity()
+        if cap % deck.kchunk:
+            cap = -(-cap // deck.kchunk) * deck.kchunk
+        key = jax.random.PRNGKey(seed)
+        perm = shard_major_permutation(deck, self.mesh)
+
+        fsh = NamedSharding(self.mesh, field_spec())
+        psh = NamedSharding(self.mesh, particle_spec())
+        species = []
+        for i, spec in enumerate(deck.species):
+            p = load_species(spec, deck.domain, deck.tiling, cap, jax.random.fold_in(key, i), deck.dtype)
+            p = ParticleState(*(jax.device_put(np.asarray(a)[perm], psh) for a in p))
+            species.append(p)
+        if fields is None:
+            fields = FieldState.zeros(deck.ny, deck.nx, deck.dtype)
+        fields = FieldState(*(jax.device_put(np.asarray(c), fsh) for c in fields))
+        self.state = SimState(fields=fields, species=tuple(species), step=jnp.zeros((), jnp.int32))
+        self._step = jax.jit(build_sharded_step(deck, self.mesh))
+
+    def step(self, n: int = 1):
+        diag = None
+        for _ in range(n):
+            self.state, diag = self._step(self.state)
+        return diag

@@ -42,39 +42,92 @@ def wrap_positions(p: ParticleState, nx: int, ny: int, periodic: bool) -> Partic
     )
 
 
-def rebin(p: ParticleState, tiling: Tiling) -> Tuple[ParticleState, jax.Array]:
-    """Sort particles into their current tiles.
+def rebin_flat(
+    flat: ParticleState,
+    *,
+    tile_rows: int,
+    tile_cols: int,
+    tile_nx: int,
+    tile_ny: int,
+    capacity: int,
+    row0=0,
+    col0=0,
+) -> Tuple[ParticleState, jax.Array]:
+    """Sort a flat slot pool into (tile_rows*tile_cols, capacity) buckets.
 
-    Returns the re-bucketed ParticleState and the number of particles
-    dropped to overflow (int32 scalar, 0 in healthy runs).
+    Tile indices derive from *global* positions minus the (row0, col0) tile
+    offset of this (shard-local) tile grid — the sharded path reuses the
+    same sort with traced offsets.  Slots landing outside the local grid or
+    with w == 0 are dropped silently (off-grid slots must have been routed
+    away beforehand); capacity overflow is counted and returned.
     """
-    num_tiles, cap = p.num_tiles, p.capacity
-    n = num_tiles * cap
-    flat = jax.tree_util.tree_map(lambda a: a.reshape(n), p)
+    num_tiles = tile_rows * tile_cols
+    n = flat.x.shape[0]
+    out_n = num_tiles * capacity
+    assert n >= out_n, "slot pool smaller than bucket space"
 
-    col = jnp.floor(flat.x / tiling.tile_nx).astype(jnp.int32)
-    row = jnp.floor(flat.y / tiling.tile_ny).astype(jnp.int32)
-    col = jnp.clip(col, 0, tiling.tile_cols - 1)
-    row = jnp.clip(row, 0, tiling.tile_rows - 1)
-    tid = row * tiling.tile_cols + col
-    # Dead slots sort to a sentinel bucket past the last tile.
-    tid = jnp.where(flat.w > 0, tid, num_tiles).astype(jnp.int32)
+    col = jnp.floor(flat.x / tile_nx).astype(jnp.int32) - col0
+    row = jnp.floor(flat.y / tile_ny).astype(jnp.int32) - row0
+    in_grid = (col >= 0) & (col < tile_cols) & (row >= 0) & (row < tile_rows)
+    alive = (flat.w > 0) & in_grid
+    tid = (row * tile_cols + col).astype(jnp.int32)
 
-    order = jnp.argsort(tid)  # stable -> preserves intra-tile locality
-    tid_s = tid[order]
-    # Slot within its tile = position minus the tile's first position.
-    starts = jnp.searchsorted(tid_s, jnp.arange(num_tiles + 1, dtype=jnp.int32))
-    slot = jnp.arange(n, dtype=jnp.int32) - starts[jnp.clip(tid_s, 0, num_tiles)]
+    # TPU cost model (measured on v5e): a random 12M-element gather ~100 ms,
+    # a 7-operand lax.sort ~100 ms *total*, scatter far worse.  So the only
+    # affordable plan is ONE multi-operand sort whose result is already the
+    # bucket layout.  Trick: assign every dead slot a *filler key* chosen so
+    # tile t receives exactly (capacity - count_t) fillers; then the stable
+    # sort emits exactly `capacity` elements per tile and bucketizing is a
+    # reshape — zero gathers, zero scatters.
+    #
+    # Fast path precondition: no tile over capacity.  Overflow is detected
+    # from the key-only pre-sort and handled by a gather-based slow path
+    # under lax.cond (rare; pays ~6 gathers only when it actually happens).
+    key_alive = jnp.where(alive, tid, num_tiles)
+    sorted_keys = jnp.sort(key_alive)
+    starts = jnp.searchsorted(sorted_keys, jnp.arange(num_tiles + 1, dtype=jnp.int32))
+    counts = starts[1:] - starts[:num_tiles]
+    overflow = jnp.sum(jnp.maximum(counts - capacity, 0))
 
-    keep = (tid_s < num_tiles) & (slot < cap)
-    dest = jnp.where(keep, tid_s * cap + slot, n)  # n = out-of-range -> drop
-    overflow = jnp.sum((tid_s < num_tiles) & (slot >= cap))
+    payload = tuple(flat)
 
-    def scatter(a):
-        out = jnp.zeros((n,), a.dtype)
-        return out.at[dest].set(a[order], mode="drop").reshape(num_tiles, cap)
+    def fast(_):
+        fill = capacity - jnp.minimum(counts, capacity)  # [T]
+        fill_cum = jnp.cumsum(fill)
+        dead_rank = jnp.cumsum((~alive).astype(jnp.int32))  # 1-based among dead
+        # compare_all: broadcast compare against the [T] boundary table on
+        # the VPU — the default bisection 'scan' lowers to ~9 rounds of
+        # 12M-element gathers (~100 ms each on TPU, measured).
+        filler_tid = jnp.searchsorted(
+            fill_cum, dead_rank, side="left", method="compare_all"
+        ).astype(jnp.int32)
+        keys = jnp.where(alive, tid, filler_tid)  # excess dead -> num_tiles
+        s = jax.lax.sort((keys,) + payload, num_keys=1)
+        return tuple(a[:out_n].reshape(num_tiles, capacity) for a in s[1:])
 
-    return ParticleState(*(scatter(a) for a in flat)), overflow
+    def slow(_):
+        order = jnp.argsort(key_alive)
+        src = order[
+            jnp.minimum(starts[:num_tiles, None] + jnp.arange(capacity)[None, :], n - 1)
+        ]
+        valid = jnp.arange(capacity)[None, :] < counts[:, None]
+        return tuple(jnp.where(valid, a[src], 0) for a in payload)
+
+    outs = jax.lax.cond(overflow == 0, fast, slow, None)
+    return ParticleState(*outs), overflow
+
+
+def rebin(p: ParticleState, tiling: Tiling) -> Tuple[ParticleState, jax.Array]:
+    """Single-device re-binning over the full tile grid."""
+    flat = jax.tree_util.tree_map(lambda a: a.reshape(p.num_tiles * p.capacity), p)
+    return rebin_flat(
+        flat,
+        tile_rows=tiling.tile_rows,
+        tile_cols=tiling.tile_cols,
+        tile_nx=tiling.tile_nx,
+        tile_ny=tiling.tile_ny,
+        capacity=p.capacity,
+    )
 
 
 def tile_counts(p: ParticleState) -> jax.Array:

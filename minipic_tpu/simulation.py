@@ -76,32 +76,40 @@ def advance_species_tiles(
     qm: float,
     q: float,
     order: int,
-    tiling,
+    tile_ny: int,
+    tile_nx: int,
+    origins: Tuple[jax.Array, jax.Array],
     g: int,
     dt: float,
     dx: float,
     dy: float,
     kchunk: int,
+    vma_axes: Tuple[str, ...] = (),
 ) -> Tuple[ParticleState, Tuple[jax.Array, jax.Array, jax.Array]]:
     """Gather + push + move + deposit for one species over its tile
     buffers, scanned in slot chunks.  Returns the pushed particles
-    (positions unwrapped) and this species' J tile stack."""
+    (positions unwrapped) and this species' J tile stack.
+
+    origins: ([T,1], [T,1]) global cell coordinates of each tile's interior
+    origin (traced values in sharded runs, where they derive from the mesh
+    coordinate).
+    """
     t_total, cap = p.num_tiles, p.capacity
     kc = kchunk if cap % kchunk == 0 else cap
     nc = cap // kc
-    nxt, nyt = tiling.tile_nx, tiling.tile_ny
-    ox, oy = _tile_origins(tiling, p.x.dtype)
+    nxt, nyt = tile_nx, tile_ny
+    ox, oy = origins
 
     def chunked(a):  # [T, cap] -> [nc, T, kc]
         return a.reshape(t_total, nc, kc).transpose(1, 0, 2)
 
     xs = jax.tree_util.tree_map(chunked, p)
     nyg, nxg = nyt + 2 * g, nxt + 2 * g
-    j0 = (
-        jnp.zeros((t_total, nyg, nxg), p.x.dtype),
-        jnp.zeros((t_total, nyg, nxg), p.x.dtype),
-        jnp.zeros((t_total, nyg, nxg), p.x.dtype),
-    )
+    j0 = tuple(jnp.zeros((t_total, nyg, nxg), p.x.dtype) for _ in range(3))
+    if vma_axes:
+        # Inside shard_map the scan carry must carry the same varying-axis
+        # type as the body outputs (jax>=0.9 vma typing).
+        j0 = tuple(jax.lax.pcast(z, vma_axes, to="varying") for z in j0)
 
     def body(carry, chunk: ParticleState):
         jx, jy, jz = carry
@@ -157,7 +165,9 @@ def build_step(deck: Deck):
                 qm=spec.charge / spec.mass,
                 q=spec.charge,
                 order=spec.shape_order,
-                tiling=tiling,
+                tile_ny=tiling.tile_ny,
+                tile_nx=tiling.tile_nx,
+                origins=_tile_origins(tiling, deck.dtype),
                 g=g,
                 dt=dt,
                 dx=dx,
