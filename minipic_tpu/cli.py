@@ -1,0 +1,123 @@
+"""Command-line runner.
+
+The reference has no CLI — configuration is edit-and-recompile
+(PIC_2D.cpp:57-74) and execution is `mpirun -np N PIC_2D.o`
+(Books/commands.txt).  Here:
+
+    python -m minipic_tpu.cli --deck reference_pulse --out Simulation/Fields
+    python -m minipic_tpu.cli --deck two_stream --steps 500 --save-every 100
+    python -m minipic_tpu.cli --deck load_balance_stress --sharded
+
+Writes reference-schema HDF5 snapshots + params.txt (readable by the
+reference's File_reader.py), a history.json of per-step energies, and a
+final checkpoint.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="minipic_tpu", description=__doc__)
+    ap.add_argument("--deck", default="reference_pulse", help="named deck (decks/standard.py)")
+    ap.add_argument("--out", default="Simulation/Fields", help="output folder")
+    ap.add_argument("--steps", type=int, default=None, help="override total steps")
+    ap.add_argument("--save-every", type=int, default=None)
+    ap.add_argument("--nx", type=int, default=None)
+    ap.add_argument("--ny", type=int, default=None)
+    ap.add_argument("--sharded", action="store_true", help="run on all devices via the 2-D mesh")
+    ap.add_argument("--ranks", type=int, default=1, help="fan snapshot files over N virtual ranks")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--precision", choices=["f32", "f64"], default=None)
+    ap.add_argument("--list", action="store_true", help="list available decks")
+    ap.add_argument("--no-save", action="store_true", help="skip HDF5 snapshots")
+    ap.add_argument(
+        "--platform",
+        default=None,
+        help="force a jax backend (e.g. 'cpu'); note JAX_PLATFORMS env is "
+        "frozen before user code under the axon sitecustomize",
+    )
+    args = ap.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    if args.precision == "f64":
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
+
+    from .decks.standard import CASES, make
+
+    if args.list:
+        for name in sorted(CASES):
+            print(name)
+        return 0
+
+    kw = {}
+    if args.nx:
+        kw["nx"] = args.nx
+    if args.ny:
+        kw["ny"] = args.ny
+    case = make(args.deck, **kw)
+    deck = case.deck
+    if args.precision:
+        deck = dataclasses.replace(deck, precision=args.precision)
+
+    from .diag.history import RunHistory
+    from .io.hdf5 import save_fields
+    from .io.params import write_params
+    from .io.checkpoint import save_checkpoint
+
+    fields = case.init_fields(deck) if case.init_fields else None
+
+    if args.sharded:
+        from .parallel.step import ShardedSimulation
+
+        sim = ShardedSimulation(deck, fields=fields, seed=args.seed)
+    else:
+        from .simulation import Simulation
+
+        sim = Simulation(deck, fields=fields, seed=args.seed)
+    if case.seed_state:
+        sim.state = case.seed_state(sim.state, deck)
+
+    n_steps = args.steps if args.steps is not None else deck.total_steps
+    save_every = args.save_every if args.save_every is not None else deck.save_frequency
+    os.makedirs(args.out, exist_ok=True)
+    write_params(deck, args.out)
+    hist = RunHistory()
+
+    def save(step):
+        if args.no_save:
+            return
+        save_fields(sim.state.fields, deck.tiling, deck.guard, step, args.out, ranks=args.ranks)
+
+    save(0)
+    print(f"deck={args.deck} grid={deck.ny}x{deck.nx} dt={deck.dt:.6g} steps={n_steps}", flush=True)
+    for i in range(1, n_steps + 1):
+        diag = sim.step()
+        hist.record(i, deck.dt, diag)
+        if i % save_every == 0:
+            save(i)
+            sps = hist.steps_per_sec()
+            print(
+                f"step {i}/{n_steps}  E_field={hist.field_energy[-1]:.4e}  "
+                f"E_total={hist.total_energy()[-1]:.6e}  drift={hist.energy_drift():.2e}  "
+                f"ovf={hist.overflow[-1]}  {sps and f'{sps:.1f} steps/s' or ''}",
+                flush=True,
+            )
+
+    hist.save(os.path.join(args.out, "history.json"))
+    save_checkpoint(os.path.join(args.out, "checkpoint.npz"), sim.state)
+    print(f"done: energy drift {hist.energy_drift():.3e}; outputs in {args.out}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,198 @@
+"""Named run decks.
+
+``reference_pulse`` reproduces the reference's shipped configuration
+(PIC_2D.cpp:57-74 + the active Test-3 init) — fields-only, HDF5 output
+compatible with its File_reader.  The other five are the BASELINE.json
+benchmark configs the reference never reached.
+
+Each case bundles a Deck with optional initial fields and a state "seeder"
+(perturbations applied after loading, e.g. the two-stream velocity seed).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Callable, Dict, Optional
+
+import jax.numpy as jnp
+
+from ..core.config import Deck, SpeciesSpec
+from ..fields import init as finit
+
+
+@dataclasses.dataclass
+class Case:
+    name: str
+    deck: Deck
+    init_fields: Optional[Callable] = None  # (deck) -> FieldState
+    seed_state: Optional[Callable] = None  # (state, deck) -> state
+    notes: str = ""
+
+
+def _fit_tile(n: int, target: int = 25) -> int:
+    """Largest divisor of n that is <= target (tile sizes must divide the
+    grid, 'Read me.pdf' p.1 WARNING)."""
+    for t in range(min(target, n), 0, -1):
+        if n % t == 0:
+            return t
+    return 1
+
+
+def reference_pulse(nx: int = 450, ny: int = 450) -> Case:
+    """The reference's canonical run: 10x10 box, 450^2 cells, cos^2 pulse,
+    dt = 0.5 dt_CFL, save every 25 (PIC_2D.cpp:57-74, params.txt)."""
+    deck = Deck(box_x=10.0, box_y=10.0, nx=nx, ny=ny,
+                tile_nx=_fit_tile(nx), tile_ny=_fit_tile(ny),
+                sim_time=500.0, save_frequency=25)
+    return Case(
+        "reference_pulse",
+        deck,
+        init_fields=lambda d: finit.pulse_x(d.domain, dtype=d.dtype),
+        notes="fields-only parity run; File_reader-compatible output",
+    )
+
+
+def two_stream(nx: int = 64, ny: int = 64, ppc: int = 16, u0: float = 0.2) -> Case:
+    """BASELINE config 1: two-stream instability, linear shapes."""
+    lx = 2 * math.pi * u0 / 0.45  # mode 1 near peak growth
+    deck = Deck(
+        box_x=lx, box_y=lx * ny / nx, nx=nx, ny=ny, tile_nx=8, tile_ny=8,
+        species=(
+            SpeciesSpec("right", charge=-1.0, mass=1.0, ppc=ppc, ux=u0),
+            SpeciesSpec("left", charge=-1.0, mass=1.0, ppc=ppc, ux=-u0),
+            SpeciesSpec("ion", charge=+1.0, mass=1836.0, ppc=ppc),
+        ),
+        sim_time=80.0,
+    )
+
+    def seed(state, d):
+        k1 = 2 * math.pi / d.box_x
+        sp = list(state.species)
+        for i in (0, 1):
+            p = sp[i]
+            sp[i] = p._replace(w=p.w * 0.5, px=p.px + 1e-3 * jnp.sin(k1 * p.x * d.dx))
+        return state._replace(species=tuple(sp))
+
+    return Case("two_stream", deck, seed_state=seed,
+                notes="growth then saturation; energy drift < 0.1% over 10k steps")
+
+
+def weibel(nx: int = 128, ny: int = 128, ppc: int = 16, uz: float = 0.6) -> Case:
+    """BASELINE config 2: Weibel instability — counter-streaming along z,
+    anisotropy drives in-plane magnetic filaments; check B-energy growth."""
+    deck = Deck(
+        box_x=12.8, box_y=12.8, nx=nx, ny=ny, tile_nx=16, tile_ny=16,
+        species=(
+            SpeciesSpec("up", charge=-1.0, mass=1.0, ppc=ppc, uz=uz, uth=0.01),
+            SpeciesSpec("down", charge=-1.0, mass=1.0, ppc=ppc, uz=-uz, uth=0.01),
+            SpeciesSpec("ion", charge=+1.0, mass=1836.0, ppc=ppc),
+        ),
+        sim_time=60.0,
+    )
+
+    def seed(state, d):
+        sp = list(state.species)
+        for i in (0, 1):
+            sp[i] = sp[i]._replace(w=sp[i].w * 0.5)
+        return state._replace(species=tuple(sp))
+
+    return Case("weibel", deck, seed_state=seed,
+                notes="magnetic energy growth-rate check (diag.growth_rate)")
+
+
+def landau(nx: int = 256, ny: int = 256, ppc: int = 16) -> Case:
+    """BASELINE config 3: Landau damping with TSC (quadratic) shapes.
+    k lambda_D = 0.35: Langmuir wave damps at the kinetic rate while total
+    energy stays conserved (the scheme-quality diagnostic)."""
+    uth = 0.05
+    klam = 0.35
+    k = klam / uth  # k lambda_D = k uth / wp
+    lx = 2 * math.pi / k
+    deck = Deck(
+        box_x=lx, box_y=lx, nx=nx, ny=ny, tile_nx=16, tile_ny=16, guard=3,
+        species=(
+            SpeciesSpec("ele", charge=-1.0, mass=1.0, ppc=ppc, uth=uth, shape_order=2),
+            SpeciesSpec("ion", charge=+1.0, mass=1836.0, ppc=ppc, uth=0.0, shape_order=2),
+        ),
+        sim_time=40.0,
+    )
+
+    def seed(state, d):
+        k1 = 2 * math.pi / d.box_x
+        sp = list(state.species)
+        p = sp[0]
+        sp[0] = p._replace(px=p.px + 0.01 * uth * jnp.sin(k1 * p.x * d.dx))
+        return state._replace(species=tuple(sp))
+
+    return Case("landau", deck, seed_state=seed,
+                notes="energy-conservation diagnostic with quadratic shapes")
+
+
+def laser_plasma(nx: int = 512, ny: int = 512, ppc: int = 4) -> Case:
+    """BASELINE config 4: laser into underdense plasma, absorbing
+    boundaries, particles streaming across tiles."""
+    box = 51.2
+
+    def slab(x, y):
+        # Underdense slab with a soft ramp starting at x = 15.
+        return 0.05 * 0.5 * (1.0 + jnp.tanh((x - 15.0) / 2.0))
+
+    deck = Deck(
+        box_x=box, box_y=box, nx=nx, ny=ny, tile_nx=16, tile_ny=16,
+        species=(
+            SpeciesSpec("ele", charge=-1.0, mass=1.0, ppc=ppc, uth=0.01, density=slab),
+            SpeciesSpec("ion", charge=+1.0, mass=1836.0, ppc=ppc, density=slab),
+        ),
+        boundary="absorbing", absorb_width=24, sim_time=60.0,
+    )
+    return Case(
+        "laser_plasma",
+        deck,
+        init_fields=lambda d: finit.gaussian_laser_x(
+            d.domain, a0=2.0, k0=10.0, x_center=6.0, length=3.0, waist=8.0, dtype=d.dtype
+        ),
+        notes="absorbing boundaries; wakefield; cross-tile particle flux",
+    )
+
+
+def load_balance_stress(nx: int = 1024, ny: int = 1024, n_particles: float = None) -> Case:
+    """BASELINE config 5: nonuniform density blob on a 1024^2 grid,
+    1e8 particles, grid sharded over 8 chips.  The blob concentrates
+    *weight* in the center; particle slots stay uniform per tile, which is
+    exactly the TPU load-balance strategy (device-side binning into
+    fixed-capacity buckets -> every chip does identical work; SURVEY.md §7
+    design stance)."""
+    if n_particles is None:
+        n_particles = 95.0 * nx * ny  # 1e8 at the nominal 1024^2
+    ppc = max(1, round(n_particles / (nx * ny)))
+
+    def blob(x, y):
+        r2 = ((x - 51.2) ** 2 + (y - 51.2) ** 2) / (12.0**2)
+        return 0.1 + 4.0 * jnp.exp(-r2)
+
+    deck = Deck(
+        box_x=102.4, box_y=102.4, nx=nx, ny=ny, tile_nx=16, tile_ny=16, guard=3,
+        species=(
+            SpeciesSpec("ele", charge=-1.0, mass=1.0, ppc=ppc, uth=0.05, density=blob),
+            SpeciesSpec("ion", charge=+1.0, mass=1836.0, ppc=ppc, density=blob),
+        ),
+        rebin_interval=4, sim_time=10.0, mesh_shape=(2, 4),
+    )
+    return Case("load_balance_stress", deck,
+                notes="sharded 2x4; uniform slot load under nonuniform density")
+
+
+CASES: Dict[str, Callable[..., Case]] = {
+    "reference_pulse": reference_pulse,
+    "two_stream": two_stream,
+    "weibel": weibel,
+    "landau": landau,
+    "laser_plasma": laser_plasma,
+    "load_balance_stress": load_balance_stress,
+}
+
+
+def make(name: str, **overrides) -> Case:
+    if name not in CASES:
+        raise KeyError(f"unknown deck '{name}'; available: {sorted(CASES)}")
+    return CASES[name](**overrides)

@@ -44,7 +44,7 @@ def _pack(p_flat: ParticleState, dr, dc, cap: int):
     onehot = (dir9[:, None] == jnp.arange(9)[None, :]) & moving[:, None]
     rank = jnp.cumsum(onehot.astype(jnp.int32), axis=0) - 1
     rank = jnp.take_along_axis(rank, dir9[:, None], axis=1)[:, 0]
-    dropped = jnp.sum(moving & (rank >= cap))
+    dropped = jnp.sum(moving & (rank >= cap)).astype(jnp.int32)
     dest = jnp.where(moving & (rank < cap), dir9 * cap + rank, 9 * cap)
 
     fields = jnp.stack(tuple(p_flat))  # [6, N]
@@ -108,7 +108,7 @@ def exchange_particles(
     dr = jnp.clip(dr, -1, 1)
 
     buf, stay, dropped = _pack(flat, dr, dc, cap)
-    dropped = dropped + jnp.sum(too_far & (flat.w > 0))
+    dropped = dropped + jnp.sum(too_far & (flat.w > 0)).astype(jnp.int32)
     routed = _route(buf, rows, cols)  # [3,3,6,cap], all local now
 
     recv = routed.transpose(2, 0, 1, 3).reshape(_NF, 9 * cap)

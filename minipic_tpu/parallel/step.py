@@ -170,11 +170,14 @@ def build_sharded_step(deck: Deck, mesh: Mesh):
             if deck.rebin_interval == 1:
                 p, ov = do_rebin(p)
             else:
+
+                def skip_rebin(pp):
+                    # Match the rebin branch's varying-axis typing (vma).
+                    zero = lax.pcast(jnp.zeros((), jnp.int32), ("ry", "rx"), to="varying")
+                    return pp, zero
+
                 p, ov = lax.cond(
-                    step % deck.rebin_interval == 0,
-                    do_rebin,
-                    lambda pp: (pp, jnp.zeros((), jnp.int32)),
-                    p,
+                    step % deck.rebin_interval == 0, do_rebin, skip_rebin, p
                 )
             overflow = overflow + lax.psum(ov, ("ry", "rx"))
             binned.append(p)

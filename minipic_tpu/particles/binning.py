@@ -87,7 +87,7 @@ def rebin_flat(
     sorted_keys = jnp.sort(key_alive)
     starts = jnp.searchsorted(sorted_keys, jnp.arange(num_tiles + 1, dtype=jnp.int32))
     counts = starts[1:] - starts[:num_tiles]
-    overflow = jnp.sum(jnp.maximum(counts - capacity, 0))
+    overflow = jnp.sum(jnp.maximum(counts - capacity, 0)).astype(jnp.int32)
 
     payload = tuple(flat)
 

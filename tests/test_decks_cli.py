@@ -1,0 +1,64 @@
+"""Named decks + CLI smoke tests."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from minipic_tpu.cli import main as cli_main
+from minipic_tpu.decks.standard import CASES, make
+
+
+def test_all_decks_validate():
+    for name in CASES:
+        case = make(name)
+        case.deck.validate()
+        assert case.deck.capacity() > 0
+
+
+def test_cli_list(capsys):
+    assert cli_main(["--list"]) == 0
+    out = capsys.readouterr().out
+    for name in ("reference_pulse", "two_stream", "weibel", "landau",
+                 "laser_plasma", "load_balance_stress"):
+        assert name in out
+
+
+def test_cli_reference_pulse_small(tmp_path):
+    out = str(tmp_path / "Fields")
+    rc = cli_main([
+        "--deck", "reference_pulse", "--nx", "48", "--ny", "48",
+        "--steps", "50", "--save-every", "25", "--out", out, "--ranks", "4",
+    ])
+    assert rc == 0
+    files = sorted(os.listdir(out))
+    assert "params.txt" in files and "history.json" in files and "checkpoint.npz" in files
+    assert sum(f.startswith("fields_rank_") for f in files) == 3 * 4  # steps 0,25,50 x 4 ranks
+    hist = json.loads(open(os.path.join(out, "history.json")).read())
+    fe = np.asarray(hist["field_energy"])
+    assert np.all(np.isfinite(fe)) and fe[0] > 0
+    # vacuum propagation: energy conserved to f32 tolerance
+    assert abs(fe[-1] - fe[0]) / fe[0] < 1e-4
+
+
+def test_cli_two_stream_smoke(tmp_path):
+    out = str(tmp_path / "ts")
+    rc = cli_main([
+        "--deck", "two_stream", "--steps", "20", "--save-every", "20",
+        "--out", out, "--precision", "f64", "--no-save",
+    ])
+    assert rc == 0
+    hist = json.loads(open(os.path.join(out, "history.json")).read())
+    tot = [f + sum(k) for f, k in zip(hist["field_energy"], hist["kinetic_energy"])]
+    assert abs(tot[-1] - tot[0]) / tot[0] < 1e-6
+
+
+def test_cli_sharded_stress_smoke(tmp_path):
+    out = str(tmp_path / "lb")
+    rc = cli_main([
+        "--deck", "load_balance_stress", "--nx", "128", "--ny", "128",
+        "--steps", "8", "--save-every", "8", "--sharded", "--out", out, "--no-save",
+    ])
+    assert rc == 0
+    hist = json.loads(open(os.path.join(out, "history.json")).read())
+    assert all(o == 0 for o in hist["overflow"])

@@ -1,0 +1,64 @@
+"""Diagnostics toolkit tests, anchored to the reference's published numbers."""
+import math
+
+import numpy as np
+
+from minipic_tpu.diag.analysis import (
+    energy_drift,
+    fdtd_dispersion_velocity,
+    field_spectrum_x,
+    fit_pulse_speed,
+    growth_rate,
+    lineout,
+    peak_amplitudes,
+    two_stream_growth_theory,
+)
+
+
+def test_dispersion_velocity_matches_report():
+    """Report p.9: theory 0.99982 c for the canonical nx=450 config with
+    kx = 5 * 2pi / 10."""
+    dx = 10.0 / 450
+    dt = 0.00785674
+    k = 5 * 2 * math.pi / 10.0
+    v = fdtd_dispersion_velocity(k, dt, dx)
+    np.testing.assert_allclose(v, 0.99982, atol=2e-5)
+
+
+def test_growth_rate_recovers_synthetic_exponential():
+    t = np.linspace(0, 10, 100)
+    e = 1e-8 * np.exp(2 * 0.35 * t)
+    np.testing.assert_allclose(growth_rate(t, e), 0.35, rtol=1e-6)
+
+
+def test_peak_amplitudes_and_lineout():
+    x = np.linspace(0, 10, 500)
+    line = 0.08 * np.exp(-((x - 3) ** 2)) + 0.05 * np.exp(-((x - 7) ** 2))
+    field = np.tile(line, (20, 1))
+    lo = lineout(field)
+    p1, p2 = peak_amplitudes(lo, distance=10)
+    np.testing.assert_allclose([p1, p2], [0.08, 0.05], rtol=1e-3)
+
+
+def test_fit_pulse_speed_synthetic():
+    dx, nx = 0.02, 500
+    x = np.arange(nx) * dx
+    times = np.linspace(0, 3, 10)
+    lines = [np.exp(-((x - (1.0 + 0.998 * t)) ** 2) / 0.01) for t in times]
+    v = fit_pulse_speed(times, lines, dx, distance=5)
+    np.testing.assert_allclose(v, 0.998, atol=0.01)
+
+
+def test_two_stream_theory_peak():
+    # gamma_max = wb/2 at (k v0)^2 = (3/4) wb^2
+    wb = 1 / math.sqrt(2)
+    k = math.sqrt(0.75) * wb / 0.2
+    np.testing.assert_allclose(two_stream_growth_theory(k, 0.2, wb), wb / 2, rtol=1e-12)
+
+
+def test_energy_drift_and_spectrum():
+    hist = [(1.0, 9.0), (1.05, 8.96), (0.98, 9.015)]
+    np.testing.assert_allclose(energy_drift(hist), 0.01 / 10.0, rtol=1e-9)
+    f = np.sin(2 * math.pi * 3 * np.arange(64) / 64)[None, :] * np.ones((8, 1))
+    spec = field_spectrum_x(f)
+    assert spec.argmax() == 3
