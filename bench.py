@@ -28,7 +28,7 @@ def build(n_particles: int, grid: int, rebin_interval: int):
         ny=grid,
         tile_nx=16,
         tile_ny=16,
-        guard=3,  # lets particles drift 2 cells -> re-bin every 4 steps
+        guard=4,  # lets particles drift 3 cells -> re-bin every 8 steps
         species=(
             SpeciesSpec("ele", charge=-1.0, mass=1.0, ppc=ppc, uth=0.05),
             # Immobile neutralizing background is implied (uniform density);
@@ -59,7 +59,7 @@ def build(n_particles: int, grid: int, rebin_interval: int):
 def main():
     grid = int(os.environ.get("BENCH_GRID", 512))
     target_particles = float(os.environ.get("BENCH_PARTICLES", 1e8))
-    rebin_interval = int(os.environ.get("BENCH_REBIN", 4))
+    rebin_interval = int(os.environ.get("BENCH_REBIN", 8))
     inner = int(os.environ.get("BENCH_STEPS", 10))
 
     for n_try in (target_particles, target_particles / 2, target_particles / 4, 1e7):

@@ -97,6 +97,8 @@ class Deck:
     # Chunk of particle slots processed per inner deposition/gather block
     # (bounds the size of the dense shape-matrix intermediates).
     kchunk: int = 256
+    # Fused Pallas gather/push/deposit kernel: "auto" (TPU + f32), "on", "off".
+    use_pallas: str = "auto"
     # Per-direction cross-shard particle exchange buffer capacity (slots);
     # None -> auto from tile capacity.  Only the shard-boundary tiles feed
     # these, so a fraction of one tile's capacity suffices.

@@ -1,0 +1,264 @@
+"""Fused gather + Boris push + Esirkepov deposit as one Pallas TPU kernel.
+
+The XLA path (simulation.advance_species_tiles) materializes the dense
+shape matrices in HBM between the gather, push, and deposit stages — at
+1e8 particles that traffic dominates the step.  This kernel keeps the
+whole per-chunk pipeline in VMEM:
+
+  grid = (num_tiles, capacity // KC), K innermost.
+  per step: particle chunk [1, KC] -> transposed shape matrices
+  [n+2g, KC] (particles on the lane axis, no relayouts) -> 6-component
+  field gather (MXU dot_generals against the tile's field window) ->
+  Boris rotation (VPU) -> move -> Esirkepov vectors (sublane cumsum) ->
+  4 deposition dot_generals accumulated into the tile's J window
+  (revisited output block, initialized at k == 0).
+
+HBM traffic per particle: read 6 floats + write 5 — nothing else.  The
+J and field windows stay VMEM-resident across the K loop (Pallas skips
+re-copying blocks whose index map doesn't change).
+
+Per-tile occupancy bound: buckets are live-compacted by the re-binning
+sort, so chunks past a tile's live count skip all physics via @pl.when —
+compute scales with live particles, not capacity (parallel/balance.py #4,
+the TPU answer to work stealing).
+
+Physics/stagger contracts identical to particles/gather.py + deposit.py
+(equivalence is tested against the XLA path on the same data).  f32 only.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...core.state import FieldState, ParticleState
+
+
+def _shape_vals(u, order: int):
+    au = jnp.abs(u)
+    if order == 1:
+        return jnp.maximum(0.0, 1.0 - au)
+    inner = 0.75 - au * au
+    outer = 0.5 * (1.5 - au) ** 2
+    return jnp.where(au <= 0.5, inner, jnp.where(au <= 1.5, outer, 0.0))
+
+
+def _dot_f_s(f, s):
+    # field [nyg, nxg] x shape [nxg, KC] -> [nyg, KC]
+    return jax.lax.dot_general(
+        f, s, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _dot_ss(a, b):
+    # [nyg, KC] x [nxg, KC] -> [nyg, nxg] (contract the particle lane axis)
+    return jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _prefix_sum_sublanes(v, n: int):
+    # cumsum along the (small) sublane axis as a lower-triangular matmul —
+    # Mosaic has no cumsum primitive, and at n ~ 22 the MXU does this for
+    # free alongside the deposition dots.
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    ltri = (row >= col).astype(jnp.float32)
+    return jax.lax.dot_general(
+        ltri, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _kernel(
+    counts_ref,  # scalar-prefetch: [T] live count per tile
+    ox_ref, oy_ref,  # scalar-prefetch: [T] int32 tile origins (cell units)
+    x_ref, y_ref, px_ref, py_ref, pz_ref, w_ref,  # [1, 1, 1, KC]
+    ex_ref, ey_ref, ez_ref, bx_ref, by_ref, bz_ref,  # [1, nyg, nxg]
+    xo_ref, yo_ref, pxo_ref, pyo_ref, pzo_ref,  # [1, 1, 1, KC]
+    jx_ref, jy_ref, jz_ref,  # [1, nyg, nxg]
+    *,
+    nxt: int, nyt: int, g: int, order: int,
+    qm: float, q: float, dt: float, dx: float, dy: float, kc: int,
+):
+    t = pl.program_id(0)
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _init():
+        jx_ref[...] = jnp.zeros(jx_ref.shape, jx_ref.dtype)
+        jy_ref[...] = jnp.zeros(jy_ref.shape, jy_ref.dtype)
+        jz_ref[...] = jnp.zeros(jz_ref.shape, jz_ref.dtype)
+
+    nxg = nxt + 2 * g
+    nyg = nyt + 2 * g
+
+    x = x_ref[0, 0]  # [1, KC]
+    y = y_ref[0, 0]
+    px = px_ref[0, 0]
+    py = py_ref[0, 0]
+    pz = pz_ref[0, 0]
+
+    @pl.when(k * kc < counts_ref[t])
+    def _body():
+        # Transposed shape matrices: grid axis on sublanes, particles on
+        # lanes — every later op is either lane-wise VPU or an MXU dot.
+        ox = ox_ref[t].astype(jnp.float32)
+        oy = oy_ref[t].astype(jnp.float32)
+        xi = x - ox  # [1, KC] tile-local
+        eta = y - oy
+        # iota must be integer-typed in Mosaic; cast after.
+        cx = jax.lax.broadcasted_iota(jnp.int32, (nxg, 1), 0).astype(jnp.float32) - g
+        cy = jax.lax.broadcasted_iota(jnp.int32, (nyg, 1), 0).astype(jnp.float32) - g
+
+        sx_i = _shape_vals(xi - cx, order)  # [nxg, KC]
+        sx_h = _shape_vals(xi - cx - 0.5, order)
+        sy_i = _shape_vals(eta - cy, order)  # [nyg, KC]
+        sy_h = _shape_vals(eta - cy - 0.5, order)
+
+        def gath(sx, sy, f_ref):  # -> [1, KC]
+            m = _dot_f_s(f_ref[0], sx)  # [nyg, KC]
+            return jnp.sum(m * sy, axis=0, keepdims=True)
+
+        e1 = gath(sx_h, sy_i, ex_ref)
+        e2 = gath(sx_i, sy_h, ey_ref)
+        e3 = gath(sx_i, sy_i, ez_ref)
+        b1 = gath(sx_i, sy_h, bx_ref)
+        b2 = gath(sx_h, sy_i, by_ref)
+        b3 = gath(sx_h, sy_h, bz_ref)
+
+        # Boris rotation (all [1, KC] lanewise)
+        h = qm * dt * 0.5
+        pxm = px + h * e1
+        pym = py + h * e2
+        pzm = pz + h * e3
+        gi = jax.lax.rsqrt(1.0 + pxm * pxm + pym * pym + pzm * pzm)
+        tx, ty, tz = h * b1 * gi, h * b2 * gi, h * b3 * gi
+        sf = 2.0 / (1.0 + tx * tx + ty * ty + tz * tz)
+        sxr, syr, szr = tx * sf, ty * sf, tz * sf
+        ppx = pxm + (pym * tz - pzm * ty)
+        ppy = pym + (pzm * tx - pxm * tz)
+        ppz = pzm + (pxm * ty - pym * tx)
+        pxn = pxm + (ppy * szr - ppz * syr) + h * e1
+        pyn = pym + (ppz * sxr - ppx * szr) + h * e2
+        pzn = pzm + (ppx * syr - ppy * sxr) + h * e3
+
+        gn = jax.lax.rsqrt(1.0 + pxn * pxn + pyn * pyn + pzn * pzn)
+        xn = x + pxn * gn * (dt / dx)
+        yn = y + pyn * gn * (dt / dy)
+
+        xo_ref[0, 0] = xn
+        yo_ref[0, 0] = yn
+        pxo_ref[0, 0] = pxn
+        pyo_ref[0, 0] = pyn
+        pzo_ref[0, 0] = pzn
+
+        # Esirkepov currents
+        s1x = _shape_vals(xn - ox - cx, order)
+        s1y = _shape_vals(yn - oy - cy, order)
+        dsx = s1x - sx_i
+        dsy = s1y - sy_i
+        qw = q * w_ref[0, 0]  # [1, KC]
+
+        ax = _prefix_sum_sublanes(dsx, nxg)  # prefix along the grid axis
+        by1 = (sy_i + 0.5 * dsy) * (qw * (-1.0 / (dt * dy)))
+        jx_ref[0] += _dot_ss(by1, ax)
+
+        ay = _prefix_sum_sublanes(dsy, nyg)
+        bx1 = sx_i + 0.5 * dsx
+        jy_ref[0] += _dot_ss(ay * (qw * (-1.0 / (dt * dx))), bx1)
+
+        vz = pzn * gn
+        cz = qw * vz * (1.0 / (dx * dy))
+        jz_ref[0] += _dot_ss(sy_i * cz, bx1) + _dot_ss(
+            dsy * cz, 0.5 * sx_i + (1.0 / 3.0) * dsx
+        )
+
+    @pl.when(k * kc >= counts_ref[t])
+    def _skip():
+        # Fully-dead chunk: state passes through untouched.
+        xo_ref[0, 0] = x
+        yo_ref[0, 0] = y
+        pxo_ref[0, 0] = px
+        pyo_ref[0, 0] = py
+        pzo_ref[0, 0] = pz
+
+
+def fused_push_deposit(
+    p: ParticleState,
+    ftiles: FieldState,
+    counts,  # [T] int32 live counts (buckets are live-compacted)
+    origins: Tuple[jax.Array, jax.Array],  # ([T,1], [T,1]) cell units
+    *,
+    qm: float, q: float, order: int,
+    tile_ny: int, tile_nx: int, g: int,
+    dt: float, dx: float, dy: float, kc: int,
+    interpret: bool = False,
+):
+    """Returns (pushed ParticleState with unwrapped positions, (jx, jy, jz)
+    tile stacks [T, nyg, nxg]).  Drop-in for the XLA chunk-scan path."""
+    t_total, cap = p.num_tiles, p.capacity
+    if cap % kc:
+        raise ValueError(f"capacity {cap} not a multiple of kchunk {kc}")
+    if p.x.dtype != jnp.float32:
+        raise ValueError("pallas path is float32-only")
+    nyg, nxg = tile_ny + 2 * g, tile_nx + 2 * g
+    dtype = p.x.dtype
+
+    # NB: under PrefetchScalarGridSpec, index maps receive the scalar-
+    # prefetch refs as trailing arguments.  Particle arrays are reshaped to
+    # [T, nc, 1, kc] so the block's trailing two dims (1, kc) equal the
+    # array's — the Mosaic (8, 128) tiling rule for partial blocks.
+    nc = cap // kc
+    pspec = pl.BlockSpec((1, 1, 1, kc), lambda i, k, *_: (i, k, 0, 0), memory_space=pltpu.VMEM)
+    fspec = pl.BlockSpec((1, nyg, nxg), lambda i, k, *_: (i, 0, 0), memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _kernel,
+        nxt=tile_nx, nyt=tile_ny, g=g, order=order,
+        qm=qm, q=q, dt=dt, dx=dx, dy=dy, kc=kc,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # counts, ox, oy
+        grid=(t_total, cap // kc),
+        in_specs=[pspec] * 6 + [fspec] * 6,
+        out_specs=[pspec] * 5 + [fspec] * 3,
+    )
+
+    out_shape = [jax.ShapeDtypeStruct((t_total, nc, 1, kc), dtype)] * 5 + [
+        jax.ShapeDtypeStruct((t_total, nyg, nxg), dtype)
+    ] * 3
+
+    flops_per_part = (6 + 4) * nxg * nyg * 2 + 300
+    cost = pl.CostEstimate(
+        flops=int(t_total * cap * flops_per_part),
+        bytes_accessed=int(t_total * cap * 11 * 4),
+        transcendentals=int(t_total * cap * 2),
+    )
+
+    ox, oy = origins
+
+    def chunked(a):
+        return a.reshape(t_total, nc, 1, kc)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        cost_estimate=cost,
+        interpret=interpret,
+    )(
+        counts.astype(jnp.int32),
+        ox.reshape(t_total).astype(jnp.int32),
+        oy.reshape(t_total).astype(jnp.int32),
+        chunked(p.x), chunked(p.y), chunked(p.px), chunked(p.py),
+        chunked(p.pz), chunked(p.w),
+        ftiles.ex, ftiles.ey, ftiles.ez, ftiles.bx, ftiles.by, ftiles.bz,
+    )
+    xn, yn, pxn, pyn, pzn = (a.reshape(t_total, cap) for a in outs[:5])
+    jx, jy, jz = outs[5:]
+    return ParticleState(xn, yn, pxn, pyn, pzn, p.w), (jx, jy, jz)

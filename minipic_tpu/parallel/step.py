@@ -40,7 +40,7 @@ from ..fields.tiles import extract_field_tiles, fold_tiles
 from ..fields.yee import update_b_half_block, update_e_full_block
 from ..particles.binning import rebin_flat, wrap_positions
 from ..particles.species import load_species
-from ..simulation import StepDiag, advance_species_tiles
+from ..simulation import StepDiag, advance_species_tiles, resolve_backend
 from .exchange import exchange_particles
 from .halo import exchange_halo, fold_halo
 from .mesh import field_spec, local_tile_grid, make_mesh, particle_spec, shard_shape
@@ -58,6 +58,7 @@ def build_sharded_step(deck: Deck, mesh: Mesh):
     periodic = deck.boundary == "periodic"
     t_local = ltr * ltc
     xcap = deck.exchange_cap(ny_l, nx_l)
+    backend, interpret = resolve_backend(deck)
 
     fspec = FieldState(*(field_spec(),) * 6)
     pspec = ParticleState(*(particle_spec(),) * 6)
@@ -103,6 +104,8 @@ def build_sharded_step(deck: Deck, mesh: Mesh):
                 dy=dy,
                 kchunk=deck.kchunk,
                 vma_axes=("ry", "rx"),
+                backend=backend,
+                interpret=interpret,
             )
             jx = sjx if jx is None else jx + sjx
             jy = sjy if jy is None else jy + sjy

@@ -101,7 +101,10 @@ def rebin_flat(
         filler_tid = jnp.searchsorted(
             fill_cum, dead_rank, side="left", method="compare_all"
         ).astype(jnp.int32)
-        keys = jnp.where(alive, tid, filler_tid)  # excess dead -> num_tiles
+        # Alive keys 2t sort before filler keys 2t+1, so each bucket comes
+        # out *live-compacted* (live slots first) — which lets the fused
+        # kernels bound their trip counts by per-tile occupancy.
+        keys = jnp.where(alive, 2 * tid, 2 * filler_tid + 1)
         s = jax.lax.sort((keys,) + payload, num_keys=1)
         return tuple(a[:out_n].reshape(num_tiles, capacity) for a in s[1:])
 

@@ -85,6 +85,8 @@ def advance_species_tiles(
     dy: float,
     kchunk: int,
     vma_axes: Tuple[str, ...] = (),
+    backend: str = "xla",
+    interpret: bool = False,
 ) -> Tuple[ParticleState, Tuple[jax.Array, jax.Array, jax.Array]]:
     """Gather + push + move + deposit for one species over its tile
     buffers, scanned in slot chunks.  Returns the pushed particles
@@ -99,6 +101,18 @@ def advance_species_tiles(
     nc = cap // kc
     nxt, nyt = tile_nx, tile_ny
     ox, oy = origins
+
+    if backend == "pallas":
+        from .ops.pallas.ppd_kernel import fused_push_deposit
+
+        counts = jnp.sum((p.w > 0).astype(jnp.int32), axis=1)
+        kwargs = dict(
+            qm=qm, q=q, order=order, tile_ny=nyt, tile_nx=nxt, g=g,
+            dt=dt, dx=dx, dy=dy, kc=kc,
+        )
+        if interpret:
+            kwargs["interpret"] = True
+        return fused_push_deposit(p, ftiles, counts, (ox, oy), **kwargs)
 
     def chunked(a):  # [T, cap] -> [nc, T, kc]
         return a.reshape(t_total, nc, kc).transpose(1, 0, 2)
@@ -135,12 +149,24 @@ def advance_species_tiles(
     return jax.tree_util.tree_map(unchunk, ys), (jx, jy, jz)
 
 
+def resolve_backend(deck: Deck) -> Tuple[str, bool]:
+    """(backend, interpret): fused Pallas kernel on TPU/f32 by default;
+    'on' forces it (interpreted off-TPU, for tests)."""
+    on_tpu = jax.default_backend() == "tpu"
+    if deck.use_pallas == "on":
+        return "pallas", not on_tpu
+    if deck.use_pallas == "auto" and on_tpu and deck.dtype == jnp.float32:
+        return "pallas", False
+    return "xla", False
+
+
 def build_step(deck: Deck):
     """Compile-ready step function SimState -> (SimState, StepDiag)."""
     deck.validate()
     tiling = deck.tiling
     g = deck.guard
     dt, dx, dy = deck.dt, deck.dx, deck.dy
+    backend, interpret = resolve_backend(deck)
     periodic = deck.boundary == "periodic"
     mask = (
         None
@@ -173,6 +199,8 @@ def build_step(deck: Deck):
                 dx=dx,
                 dy=dy,
                 kchunk=deck.kchunk,
+                backend=backend,
+                interpret=interpret,
             )
             jx = sjx if jx is None else jx + sjx
             jy = sjy if jy is None else jy + sjy
@@ -261,6 +289,27 @@ class Simulation:
             self.state, diag = self._step(self.state)
         return diag
 
+    def ensure_capacity(self, overflow: int = 0) -> bool:
+        """Grow particle buckets when overflow/occupancy demands it (the
+        adaptive-capacity half of the load-balance story, parallel/balance).
+        Returns True if capacity changed (step function was re-jitted)."""
+        from .parallel.balance import CapacityManager, census, with_capacity
+
+        mgr = CapacityManager()
+        grew = False
+        species = list(self.state.species)
+        for i, p in enumerate(species):
+            new_cap = mgr.plan(census(p), overflow)
+            if new_cap is not None and new_cap > p.capacity:
+                cap = -(-new_cap // self.deck.kchunk) * self.deck.kchunk
+                species[i] = with_capacity(p, cap)
+                grew = True
+        if grew:
+            # jit retraces automatically on the new shapes; geometric growth
+            # bounds the number of recompiles over a run.
+            self.state = self.state._replace(species=tuple(species))
+        return grew
+
     def run(self, n_steps: Optional[int] = None, save_every: Optional[int] = None, saver=None):
         """Run the deck; call `saver(state, step)` on the save cadence
         (reference Phase H, PIC_2D.cpp:414-419)."""
@@ -271,6 +320,9 @@ class Simulation:
         diag = None
         for i in range(1, n_steps + 1):
             self.state, diag = self._step(self.state)
+            ovf = int(diag.overflow)
+            if ovf > 0:
+                self.ensure_capacity(ovf)
             if saver is not None and i % save_every == 0:
                 saver(self.state, i)
         return diag

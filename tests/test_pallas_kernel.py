@@ -1,0 +1,86 @@
+"""Fused Pallas kernel vs the XLA chunk-scan path — must agree on the same
+data (interpret mode on CPU; the real-TPU run is exercised by bench.py)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from minipic_tpu.core.config import Deck, SpeciesSpec
+from minipic_tpu.core.state import FieldState
+from minipic_tpu.particles.species import load_species
+from minipic_tpu.simulation import Simulation, _tile_origins, advance_species_tiles
+
+
+def _fixture(order=1, ppc=4, kchunk=32):
+    deck = Deck(
+        box_x=4.0, box_y=4.0, nx=32, ny=32, tile_nx=8, tile_ny=8, guard=2,
+        species=(SpeciesSpec("e", -1.0, 1.0, ppc=ppc, ux=0.2, uth=0.1,
+                             shape_order=order),),
+        precision="f32", kchunk=kchunk,
+    )
+    tiling = deck.tiling
+    cap = deck.capacity()
+    if cap % kchunk:
+        cap = -(-cap // kchunk) * kchunk
+    key = jax.random.PRNGKey(3)
+    p = load_species(deck.species[0], deck.domain, tiling, cap, key, jnp.float32)
+    # Nontrivial fields
+    ky_ = 2 * np.pi / deck.box_y
+    ftiles_src = Simulation(deck)  # reuse its field padding machinery
+    from minipic_tpu.fields import init as finit
+    from minipic_tpu.fields.halo import pad_fields_periodic
+    from minipic_tpu.fields.tiles import extract_field_tiles
+
+    f = finit.oblique_wave(deck.domain, amplitude=0.3, dtype=jnp.float32)
+    fpad = pad_fields_periodic(f, deck.guard)
+    ftiles = extract_field_tiles(
+        fpad, tiling.tile_rows, tiling.tile_cols, tiling.tile_ny, tiling.tile_nx, deck.guard
+    )
+    return deck, tiling, p, ftiles
+
+
+@pytest.mark.parametrize("order", [1, 2])
+def test_pallas_matches_xla_path(order):
+    deck, tiling, p, ftiles = _fixture(order=order)
+    kw = dict(
+        qm=-1.0, q=-1.0, order=order,
+        tile_ny=tiling.tile_ny, tile_nx=tiling.tile_nx,
+        origins=_tile_origins(tiling, jnp.float32),
+        g=deck.guard, dt=deck.dt, dx=deck.dx, dy=deck.dy, kchunk=deck.kchunk,
+    )
+    p_x, (jx_x, jy_x, jz_x) = advance_species_tiles(p, ftiles, backend="xla", **kw)
+    p_p, (jx_p, jy_p, jz_p) = advance_species_tiles(
+        p, ftiles, backend="pallas", interpret=True, **kw
+    )
+
+    alive = np.asarray(p.w) > 0
+    for name in ("x", "y", "px", "py", "pz"):
+        a = np.where(alive, np.asarray(getattr(p_x, name)), 0)
+        b = np.where(alive, np.asarray(getattr(p_p, name)), 0)
+        np.testing.assert_allclose(b, a, rtol=2e-6, atol=2e-6, err_msg=name)
+    for name, a, b in (("jx", jx_x, jx_p), ("jy", jy_x, jy_p), ("jz", jz_x, jz_p)):
+        scale = max(1e-12, float(jnp.abs(a).max()))
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=0, atol=3e-6 * scale, err_msg=name
+        )
+
+
+def test_pallas_full_step_two_stream():
+    """Full Simulation step with use_pallas='on' (interpreted) conserves
+    energy and matches the XLA step's observables."""
+    import dataclasses
+
+    deck, *_ = _fixture()[0:1] + ((),) * 0
+    deck_p = dataclasses.replace(deck, use_pallas="on")
+    deck_x = dataclasses.replace(deck, use_pallas="off")
+    sp = Simulation(deck_p, seed=5)
+    sx = Simulation(deck_x, seed=5)
+    dp = sp.step(3)
+    dxg = sx.step(3)
+    np.testing.assert_allclose(
+        float(dp.field_energy), float(dxg.field_energy), rtol=1e-4, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(dp.kinetic_energy), np.asarray(dxg.kinetic_energy), rtol=1e-5
+    )
+    assert int(dp.overflow) == 0
