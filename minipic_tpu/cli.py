@@ -93,10 +93,25 @@ def main(argv=None):
     write_params(deck, args.out)
     hist = RunHistory()
 
+    # Prefer the native async writer (C++ thread pool overlaps HDF5
+    # serialization with device compute); identical file schema either way.
+    writer = None
+    if not args.no_save:
+        try:
+            from .io.native import AsyncSnapshotWriter, available
+
+            if available():
+                writer = AsyncSnapshotWriter(deck.tiling, deck.guard, args.out, ranks=args.ranks)
+        except Exception:
+            writer = None
+
     def save(step):
         if args.no_save:
             return
-        save_fields(sim.state.fields, deck.tiling, deck.guard, step, args.out, ranks=args.ranks)
+        if writer is not None:
+            writer.submit(sim.state.fields, step)
+        else:
+            save_fields(sim.state.fields, deck.tiling, deck.guard, step, args.out, ranks=args.ranks)
 
     save(0)
     print(f"deck={args.deck} grid={deck.ny}x{deck.nx} dt={deck.dt:.6g} steps={n_steps}", flush=True)
@@ -113,6 +128,10 @@ def main(argv=None):
                 flush=True,
             )
 
+    if writer is not None:
+        errs = writer.flush()
+        if errs:
+            print(f"WARNING: {errs} snapshot files failed to write", flush=True)
     hist.save(os.path.join(args.out, "history.json"))
     save_checkpoint(os.path.join(args.out, "checkpoint.npz"), sim.state)
     print(f"done: energy drift {hist.energy_drift():.3e}; outputs in {args.out}", flush=True)
