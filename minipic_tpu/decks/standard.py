@@ -121,7 +121,7 @@ def landau(nx: int = 256, ny: int = 256, ppc: int = 16) -> Case:
         k1 = 2 * math.pi / d.box_x
         sp = list(state.species)
         p = sp[0]
-        sp[0] = p._replace(px=p.px + 0.01 * uth * jnp.sin(k1 * p.x * d.dx))
+        sp[0] = p._replace(px=p.px + 0.1 * uth * jnp.sin(k1 * p.x * d.dx))
         return state._replace(species=tuple(sp))
 
     return Case("landau", deck, seed_state=seed,
