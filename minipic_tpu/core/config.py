@@ -99,6 +99,23 @@ class Deck:
     kchunk: int = 256
     # Fused Pallas gather/push/deposit kernel: "auto" (TPU + f32), "on", "off".
     use_pallas: str = "auto"
+    # Re-binning strategy: "sort" = full filler-key sort every pass;
+    # "incremental" = movers-only kernels + watermark defrag (single-device,
+    # requires the pallas backend); "auto" follows use_pallas.
+    rebin_mode: str = "auto"
+    # Outgoing/incoming mover buffer slots per tile for incremental
+    # re-binning; None -> capacity // 8 (rounded to a lane multiple).
+    mover_capacity: Optional[int] = None
+
+    def mover_cap(self, capacity: int) -> int:
+        if self.mover_capacity is not None:
+            return self.mover_capacity
+        # a lane multiple, comfortably above the expected mover fraction;
+        # the append slab needs 256 lanes of slack below the bucket size.
+        # Returns 0 when the bucket is too small for the incremental path.
+        base = max(512, -(-capacity // 8 // 128) * 128)
+        room = ((capacity - 256) // 128) * 128
+        return min(base, room) if room >= 128 else 0
     # Per-direction cross-shard particle exchange buffer capacity (slots);
     # None -> auto from tile capacity.  Only the shard-boundary tiles feed
     # these, so a fraction of one tile's capacity suffices.

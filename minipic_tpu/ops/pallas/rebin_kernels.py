@@ -1,0 +1,321 @@
+"""Pallas kernels for incremental re-binning.
+
+The full-sort re-bin (particles/binning.py) costs one 7-operand sort over
+*every* slot (measured ~1.7 s at 105M slots on v5e) even though only a few
+percent of particles change tile between passes.  The incremental path
+touches sorted data proportional to the *movers*:
+
+  1. ``extract_movers`` (kernel, grid over tiles): scan each bucket in
+     lane chunks; zero the weight of slots whose position left the tile;
+     compact the movers into a per-tile outgoing buffer.  Compaction is a
+     chunk-local **permutation matmul** — prefix ranks via an upper-
+     triangular matmul, then a one-hot placement matmul — because Mosaic
+     has no cumsum/scatter and the MXU does a [kc, kc] product per kc slots
+     essentially for free.  Also emits each bucket's post-extraction
+     watermark (highest live slot + 1) and an overflow count, encoded in
+     spare channels of the outgoing buffer (scalar outputs don't fit
+     Mosaic's output tiling rules).
+  2. The mover set (a few % of slots) goes through the ordinary filler-key
+     sort (rebin_flat) to form per-tile *incoming* buckets.
+  3. ``append_incoming`` (kernel): writes each tile's incoming slab at its
+     watermark via one dynamic-slice store (aliased in-place outputs).
+
+Buckets develop interior holes (w == 0 below the watermark); the advance
+kernel's occupancy guard uses watermarks, and a periodic full-sort defrag
+(driven by watermark pressure, see binning.rebin_auto) restores compactness.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...core.state import ParticleState
+
+# Outgoing buffer channels: 0..5 = x, y, px, py, pz, w;
+# channel 6, lane 0 = watermark; ch 6, lane 1 = dropped count; ch 7 spare.
+N_CH = 8
+
+
+def _upper_tri(n):
+    r = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return (r <= c).astype(jnp.float32)
+
+
+def _extract_kernel(
+    x_ref, y_ref, px_ref, py_ref, pz_ref, w_ref,  # in: [1, 1, K]
+    wo_ref,  # out: [1, 1, K] new weights
+    mov_ref,  # out: [1, N_CH, B] outgoing buffer (channel-major)
+    *,
+    tile_nx: int, tile_ny: int, tile_cols: int, tile_rows: int,
+    kc: int, n_chunks: int, b_cap: int,
+):
+    t = pl.program_id(0)
+    my_col = (t % tile_cols).astype(jnp.float32)
+    my_row = (t // tile_cols).astype(jnp.float32)
+
+    mov_ref[...] = jnp.zeros(mov_ref.shape, mov_ref.dtype)
+    tri = _upper_tri(kc)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, kc), 1)
+    out_row = jax.lax.broadcasted_iota(jnp.int32, (kc, kc), 0)
+
+    def scoped(pend_ref):
+        # Staging buffer [N_CH, 2*kc]: compacted movers of each chunk are
+        # rotated to the current pending offset and added (zero regions
+        # never collide).  Mosaic only allows 128-aligned dynamic lane
+        # stores, so the HBM buffer is written in whole kc-blocks whenever
+        # a full block is pending (cursor stays a kc multiple).
+        pend_ref[...] = jnp.zeros(pend_ref.shape, pend_ref.dtype)
+
+        def body(c, carry):
+            cursor, pc, wm, dropped = carry
+            sl = pl.ds(c * kc, kc)
+            xc = x_ref[0, 0, sl].reshape(1, kc)
+            yc = y_ref[0, 0, sl].reshape(1, kc)
+            wc = w_ref[0, 0, sl].reshape(1, kc)
+
+            col = jnp.floor(xc * (1.0 / tile_nx))
+            row = jnp.floor(yc * (1.0 / tile_ny))
+            alive = wc > 0
+            moving = alive & ((col != my_col) | (row != my_row))
+            mf = moving.astype(jnp.float32)
+
+            # zero leavers' weights in place
+            wo_ref[0, 0, sl] = jnp.where(moving, 0.0, wc).reshape(kc)
+
+            # watermark over stayers
+            stay_idx = jnp.where(alive & ~moving, lane + c * kc + 1, 0)
+            wm = jnp.maximum(wm, jnp.max(stay_idx))
+
+            # chunk-local compaction: rank (1-based) via triangular matmul
+            rank = jax.lax.dot_general(
+                mf, tri, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )  # [1, kc]
+            cnt = rank[0, kc - 1].astype(jnp.int32)
+            p_mat = ((rank - 1.0) == out_row.astype(jnp.float32)) & moving
+            payload = jnp.concatenate(
+                [xc, yc, px_ref[0, 0, sl].reshape(1, kc),
+                 py_ref[0, 0, sl].reshape(1, kc), pz_ref[0, 0, sl].reshape(1, kc),
+                 wc * mf, jnp.zeros((2, kc), jnp.float32)],
+                axis=0,
+            )  # [N_CH, kc]
+            compact = jax.lax.dot_general(
+                payload, p_mat.astype(jnp.float32),
+                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            )  # [N_CH, kc] -- mover m in column m
+
+            # Append at the pending offset: rotate right by pc (< kc, and
+            # pc + cnt <= 2*kc so live data never wraps) and accumulate.
+            cpad = jnp.concatenate(
+                [compact, jnp.zeros((N_CH, kc), jnp.float32)], axis=1
+            )
+            pend_ref[...] += pltpu.roll(cpad, pc, 1)
+            pc = pc + cnt
+
+            # Flush a full kc block when available.
+            @pl.when(pc >= kc)
+            def _flush():
+                fits = cursor + kc <= b_cap
+
+                @pl.when(fits)
+                def _w():
+                    mov_ref[0, :, pl.ds(pl.multiple_of(cursor, kc), kc)] = (
+                        pend_ref[:, :kc]
+                    )
+
+                # left-by-kc == right-by-kc on a 2*kc-wide buffer
+                shifted = pltpu.roll(pend_ref[...], kc, 1)
+                zero_tail = jax.lax.broadcasted_iota(jnp.int32, (N_CH, 2 * kc), 1) < kc
+                pend_ref[...] = jnp.where(zero_tail, shifted, 0.0)
+
+            flushed = pc >= kc
+            over = flushed & (cursor + kc > b_cap)
+            dropped = dropped + jnp.where(over, kc, 0)
+            cursor = cursor + jnp.where(flushed & ~over, kc, 0)
+            pc = jnp.where(flushed, pc - kc, pc)
+            return cursor, pc, wm, dropped
+
+        cursor, pc, wm, dropped = jax.lax.fori_loop(
+            0, n_chunks, body,
+            (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0)),
+        )
+
+        # Final partial block.
+        @pl.when((pc > 0) & (cursor + kc <= b_cap))
+        def _tail():
+            mov_ref[0, :, pl.ds(pl.multiple_of(cursor, kc), kc)] = pend_ref[:, :kc]
+
+        dropped = dropped + jnp.where((pc > 0) & (cursor + kc > b_cap), pc, 0)
+
+        # Mosaic cannot store scalars to VMEM: pack the stats into lanes
+        # 0..2 of channel 6 via a full-row write.
+        blane = jax.lax.broadcasted_iota(jnp.int32, (b_cap,), 0)
+        stats = jnp.where(
+            blane == 0,
+            wm.astype(jnp.float32),
+            jnp.where(
+                blane == 1,
+                dropped.astype(jnp.float32),
+                jnp.where(blane == 2, cursor.astype(jnp.float32), 0.0),
+            ),
+        )
+        mov_ref[0, 6, :] = stats
+
+    pl.run_scoped(scoped, pltpu.VMEM((N_CH, 2 * kc), jnp.float32))
+
+
+def extract_movers(
+    p: ParticleState, *, tile_rows: int, tile_cols: int, tile_ny: int,
+    tile_nx: int, b_cap: int, kc: int = 512, interpret: bool = False,
+):
+    """Returns (p with leavers' w zeroed, movers ParticleState [T, b_cap]
+    flat-compacted per tile, watermark [T] i32, dropped [T] i32)."""
+    t_total, cap = p.num_tiles, p.capacity
+    if cap % kc or kc > b_cap:
+        for d in (512, 384, 256, 128):
+            if cap % d == 0 and d <= b_cap:
+                kc = d
+                break
+        else:
+            kc = cap
+    if b_cap % 128:
+        raise ValueError("b_cap must be a lane multiple (128)")
+    if b_cap < kc:
+        raise ValueError("b_cap must be >= the extraction chunk kc")
+
+    kern = functools.partial(
+        _extract_kernel,
+        tile_nx=tile_nx, tile_ny=tile_ny, tile_cols=tile_cols,
+        tile_rows=tile_rows, kc=kc, n_chunks=cap // kc, b_cap=b_cap,
+    )
+    pin = pl.BlockSpec((1, 1, cap), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    mspec = pl.BlockSpec((1, N_CH, b_cap), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+
+    def r3(a):
+        return a.reshape(t_total, 1, cap)
+
+    wo, mov = pl.pallas_call(
+        kern,
+        grid=(t_total,),
+        in_specs=[pin] * 6,
+        out_specs=[pin, mspec],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_total, 1, cap), p.w.dtype),
+            jax.ShapeDtypeStruct((t_total, N_CH, b_cap), jnp.float32),
+        ],
+        interpret=interpret,
+    )(r3(p.x), r3(p.y), r3(p.px), r3(p.py), r3(p.pz), r3(p.w))
+
+    wm = mov[:, 6, 0].astype(jnp.int32)
+    dropped = mov[:, 6, 1].astype(jnp.int32)
+    movers = ParticleState(
+        x=mov[:, 0], y=mov[:, 1], px=mov[:, 2], py=mov[:, 3], pz=mov[:, 4],
+        w=mov[:, 5],
+    )
+    return p._replace(w=wo.reshape(t_total, cap)), movers, wm, dropped
+
+
+def _append_kernel(
+    wm_ref,  # scalar-prefetch [T]
+    x_ref, y_ref, px_ref, py_ref, pz_ref, w_ref,  # in/out aliased [1,1,K]
+    ix_ref, iy_ref, ipx_ref, ipy_ref, ipz_ref, iw_ref,  # incoming [1,1,Bin]
+    xo_ref, yo_ref, pxo_ref, pyo_ref, pzo_ref, wo_ref,  # aliased outs
+    do_ref,  # [1, 1, 128] dropped-count output (lane 0)
+    *,
+    b_in: int, cap: int,
+):
+    t = pl.program_id(0)
+    wm = wm_ref[t]
+    # Incoming buckets are live-compacted (filler-key sort), so the live
+    # prefix length is the only part that must land below `cap`.
+    n_in = jnp.sum((iw_ref[0, 0, :] > 0).astype(jnp.int32))
+    # 128 of safety absorbs the align-down of the slab anchor.
+    fits = wm + n_in <= cap - 128
+
+    do_ref[...] = jnp.zeros(do_ref.shape, do_ref.dtype)
+
+    # Slab geometry: dynamic lane stores must be 128-aligned, so anchor the
+    # (b_in + 256)-wide slab at o = align128(min(wm, cap - b_slab)) and
+    # rotate the incoming data right by (wm - o); the live run [wm, wm+n_in)
+    # then never wraps the rotation domain nor the slab (see `fits`).
+    b_slab = b_in + 256
+    o = (jnp.minimum(wm, cap - b_slab) // 128) * 128
+    shift = wm - o
+    idx = o + jax.lax.broadcasted_iota(jnp.int32, (1, b_slab), 1)
+    sel = (idx >= wm) & (idx < wm + n_in)
+
+    @pl.when(fits)
+    def _write():
+        sl = pl.ds(pl.multiple_of(o, 128), b_slab)
+
+        def merge(inc_ref, cur_ref, out_ref):
+            inc = inc_ref[0, 0, :].reshape(1, b_in)
+            padded = jnp.concatenate(
+                [inc, jnp.zeros((1, 256), jnp.float32)], axis=1
+            )
+            rolled = pltpu.roll(padded, shift, 1)
+            cur = cur_ref[0, 0, sl].reshape(1, b_slab)
+            out_ref[0, 0, sl] = jnp.where(sel, rolled, cur).reshape(b_slab)
+
+        merge(ix_ref, x_ref, xo_ref)
+        merge(iy_ref, y_ref, yo_ref)
+        merge(ipx_ref, px_ref, pxo_ref)
+        merge(ipy_ref, py_ref, pyo_ref)
+        merge(ipz_ref, pz_ref, pzo_ref)
+        merge(iw_ref, w_ref, wo_ref)
+
+    @pl.when(jnp.logical_not(fits))
+    def _drop():
+        do_ref[0, 0, :] = jnp.full((do_ref.shape[-1],), n_in.astype(jnp.float32))
+
+
+def append_incoming(
+    p: ParticleState, incoming: ParticleState, wm, *, interpret: bool = False
+):
+    """Write each tile's incoming slab at its watermark (in-place via
+    aliasing).  Returns (p2, dropped [T] i32)."""
+    t_total, cap = p.num_tiles, p.capacity
+    b_in = incoming.capacity
+    if b_in % 128:
+        raise ValueError("incoming capacity must be a lane multiple")
+    if cap < b_in + 256:
+        raise ValueError(
+            "bucket capacity must be >= incoming buffer + 256 (slab slack)"
+        )
+
+    # index maps receive the scalar-prefetch ref as a trailing arg
+    pin = pl.BlockSpec((1, 1, cap), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM)
+    iin = pl.BlockSpec((1, 1, b_in), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM)
+    dspec = pl.BlockSpec((1, 1, 128), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM)
+
+    def r3(a, n):
+        return a.reshape(t_total, 1, n)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t_total,),
+        in_specs=[pin] * 6 + [iin] * 6,
+        out_specs=[pin] * 6 + [dspec],
+    )
+    outs = pl.pallas_call(
+        functools.partial(_append_kernel, b_in=b_in, cap=cap),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((t_total, 1, cap), p.x.dtype)] * 6
+        + [jax.ShapeDtypeStruct((t_total, 1, 128), jnp.float32)],
+        input_output_aliases={1: 0, 2: 1, 3: 2, 4: 3, 5: 4, 6: 5},
+        interpret=interpret,
+    )(
+        wm.astype(jnp.int32),
+        r3(p.x, cap), r3(p.y, cap), r3(p.px, cap), r3(p.py, cap),
+        r3(p.pz, cap), r3(p.w, cap),
+        r3(incoming.x, b_in), r3(incoming.y, b_in), r3(incoming.px, b_in),
+        r3(incoming.py, b_in), r3(incoming.pz, b_in), r3(incoming.w, b_in),
+    )
+    p2 = ParticleState(*(a.reshape(t_total, cap) for a in outs[:6]))
+    dropped = outs[6][:, 0, 0].astype(jnp.int32)
+    return p2, dropped

@@ -133,6 +133,99 @@ def rebin(p: ParticleState, tiling: Tiling) -> Tuple[ParticleState, jax.Array]:
     )
 
 
+def rebin_incremental(
+    p: ParticleState,
+    tiling: Tiling,
+    mover_cap: int,
+    *,
+    interpret: bool = False,
+) -> Tuple[ParticleState, jax.Array, jax.Array]:
+    """Movers-only re-binning (single device), unconditional.
+
+    Extracts particles that left their bucket's tile (Pallas compaction
+    kernel), routes just those through the filler-key sort, and appends
+    them at each destination bucket's watermark.  Cost scales with the
+    mover fraction instead of total slots.  Buckets develop interior holes;
+    prefer rebin_auto, which adds the lossless full-sort fallback.
+
+    Returns (p2, dropped, max_watermark_after).
+    """
+    from ..ops.pallas.rebin_kernels import append_incoming, extract_movers
+
+    p1, movers, wm, dropped_a, incoming, ovf_small = _extract_and_route(
+        p, tiling, mover_cap, interpret
+    )
+    n_in = jnp.sum((incoming.w > 0).astype(jnp.int32), axis=1)
+    p2, dropped_b = append_incoming(p1, incoming, wm, interpret=interpret)
+    dropped = dropped_a.sum() + ovf_small + dropped_b.sum()
+    wm_after = jnp.max(wm + n_in)
+    return p2, dropped.astype(jnp.int32), wm_after
+
+
+def _extract_and_route(p, tiling, mover_cap, interpret):
+    from ..ops.pallas.rebin_kernels import extract_movers
+
+    p1, movers, wm, dropped_a = extract_movers(
+        p,
+        tile_rows=tiling.tile_rows,
+        tile_cols=tiling.tile_cols,
+        tile_ny=tiling.tile_ny,
+        tile_nx=tiling.tile_nx,
+        b_cap=mover_cap,
+        interpret=interpret,
+    )
+    flat = jax.tree_util.tree_map(
+        lambda a: a.reshape(p.num_tiles * mover_cap), movers
+    )
+    incoming, ovf_small = rebin_flat(
+        flat,
+        tile_rows=tiling.tile_rows,
+        tile_cols=tiling.tile_cols,
+        tile_nx=tiling.tile_nx,
+        tile_ny=tiling.tile_ny,
+        capacity=mover_cap,
+    )
+    return p1, movers, wm, dropped_a, incoming, ovf_small
+
+
+def rebin_auto(
+    p: ParticleState,
+    tiling: Tiling,
+    mover_cap: int,
+    *,
+    interpret: bool = False,
+) -> Tuple[ParticleState, jax.Array]:
+    """Incremental re-bin with a lossless full-sort fallback, decided
+    *before* the append materializes:
+
+    * any extraction/routing drop, or
+    * a bucket whose watermark + this inflow (+ a same-size forecast for
+      the next pass and the 128-lane append slack) would not fit
+
+    sends the ORIGINAL state through the full defragmenting sort instead —
+    no particle is ever lost to the fast path, the sort amortizes to the
+    rare defrag, and peak memory stays ~1 bucket-set (extraction reuses the
+    position/momentum buffers; only w is rewritten)."""
+    cap = p.capacity
+    p1, movers, wm, dropped_a, incoming, ovf_small = _extract_and_route(
+        p, tiling, mover_cap, interpret
+    )
+    n_in = jnp.sum((incoming.w > 0).astype(jnp.int32), axis=1)
+    headroom_ok = jnp.all(wm + 2 * n_in <= cap - 128)
+    ok = (dropped_a.sum() == 0) & (ovf_small == 0) & headroom_ok
+
+    from ..ops.pallas.rebin_kernels import append_incoming
+
+    def fast(_):
+        p2, dropped_b = append_incoming(p1, incoming, wm, interpret=interpret)
+        return p2, dropped_b.sum().astype(jnp.int32)
+
+    def slow(_):
+        return rebin(p, tiling)
+
+    return jax.lax.cond(ok, fast, slow, None)
+
+
 def tile_counts(p: ParticleState) -> jax.Array:
     """Alive particles per tile — the load-balance observable (the
     reference's per-rank tile census, made a per-step on-device metric)."""

@@ -105,7 +105,14 @@ def advance_species_tiles(
     if backend == "pallas":
         from .ops.pallas.ppd_kernel import fused_push_deposit
 
-        counts = jnp.sum((p.w > 0).astype(jnp.int32), axis=1)
+        # Occupancy watermark: highest live slot + 1.  Equals the live count
+        # for freshly-sorted buckets and stays correct when incremental
+        # re-binning leaves interior holes (w == 0 below the watermark).
+        counts = jnp.max(
+            (jnp.arange(cap, dtype=jnp.int32)[None, :] + 1)
+            * (p.w > 0).astype(jnp.int32),
+            axis=1,
+        )
         kwargs = dict(
             qm=qm, q=q, order=order, tile_ny=nyt, tile_nx=nxt, g=g,
             dt=dt, dx=dx, dy=dy, kc=kc,
@@ -225,16 +232,28 @@ def build_step(deck: Deck):
         if mask is not None:
             f = apply_damping(f, mask)
 
+        use_incremental = deck.rebin_mode == "incremental" or (
+            deck.rebin_mode == "auto" and backend == "pallas"
+        )
+
         overflow = jnp.zeros((), jnp.int32)
         binned = []
         for p in new_species:
             p = wrap_positions(p, deck.nx, deck.ny, periodic)
-            if deck.rebin_interval == 1:
-                p, ov = rebin(p, tiling)
+
+            mc = deck.mover_cap(p.capacity) if use_incremental else 0
+            if use_incremental and mc > 0:
+                from .particles.binning import rebin_auto
+
+                def do(pp):
+                    return rebin_auto(pp, tiling, mc, interpret=interpret)
             else:
                 def do(pp):
                     return rebin(pp, tiling)
 
+            if deck.rebin_interval == 1:
+                p, ov = do(p)
+            else:
                 def skip(pp):
                     return pp, jnp.zeros((), jnp.int32)
 

@@ -1,0 +1,104 @@
+"""Incremental (movers-only) re-binning vs the full-sort path."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from minipic_tpu.core.config import Deck, SpeciesSpec
+from minipic_tpu.core.geometry import Tiling
+from minipic_tpu.particles.binning import rebin, rebin_auto, rebin_incremental, tile_counts
+from minipic_tpu.particles.species import load_species
+from minipic_tpu.simulation import Simulation
+
+
+def _fixture(seed=0, drift=0.8):
+    deck = Deck(
+        box_x=8.0, box_y=8.0, nx=32, ny=32, tile_nx=8, tile_ny=8,
+        species=(SpeciesSpec("e", -1.0, 1.0, ppc=4, ux=0.0, uth=0.0),),
+        precision="f32", capacity_headroom=2.0, kchunk=128,
+    )
+    tiling = deck.tiling
+    cap = 512
+    p = load_species(deck.species[0], deck.domain, tiling, cap, jax.random.PRNGKey(seed), jnp.float32)
+    # Displace a band of particles across tile boundaries (and the periodic
+    # box edge) so some buckets gain and some lose.
+    key = jax.random.PRNGKey(seed + 1)
+    dx = jax.random.uniform(key, p.x.shape, jnp.float32, -drift, drift)
+    p = p._replace(x=jnp.mod(p.x + dx, deck.nx))
+    return deck, tiling, p
+
+
+def _masked_multiset(p):
+    out = {}
+    alive = np.asarray(p.w) > 0
+    for name in ("x", "y", "px", "py", "pz", "w"):
+        a = np.where(alive, np.asarray(getattr(p, name)), np.nan)
+        out[name] = np.sort(a, axis=1)
+    return out
+
+
+def test_incremental_matches_full_sort_semantics():
+    deck, tiling, p = _fixture()
+    p_full, ovf_full = rebin(p, tiling)
+    p_inc, ovf_inc, wm = rebin_incremental(p, tiling, mover_cap=256, interpret=True)
+    assert int(ovf_full) == 0 and int(ovf_inc) == 0
+    # Same live particles per tile (multisets), regardless of slot layout.
+    a, b = _masked_multiset(p_full), _masked_multiset(p_inc)
+    for name in a:
+        np.testing.assert_allclose(
+            b[name], a[name], rtol=1e-6, atol=1e-6, equal_nan=True, err_msg=name
+        )
+    np.testing.assert_array_equal(
+        np.asarray(tile_counts(p_inc)), np.asarray(tile_counts(p_full))
+    )
+
+
+def test_incremental_no_movers_is_identity_on_live_slots():
+    deck, tiling, p = _fixture(drift=0.0)
+    p, _ = rebin(p, tiling)  # compacted start
+    p2, ovf, wm = rebin_incremental(p, tiling, mover_cap=256, interpret=True)
+    assert int(ovf) == 0
+    alive = np.asarray(p.w) > 0
+    for name in ("x", "y", "w"):
+        np.testing.assert_array_equal(
+            np.where(alive, np.asarray(getattr(p2, name)), 0),
+            np.where(alive, np.asarray(getattr(p, name)), 0),
+        )
+
+
+def test_rebin_auto_defrags_under_pressure():
+    deck, tiling, p = _fixture()
+    # Tiny capacity margin: repeated incremental passes must trigger the
+    # full-sort defrag branch rather than dropping particles.
+    n0 = int(p.alive_count())
+    key = jax.random.PRNGKey(9)
+    for i in range(6):
+        dx = jax.random.uniform(jax.random.fold_in(key, i), p.x.shape, jnp.float32, -0.8, 0.8)
+        p = p._replace(x=jnp.mod(p.x + dx, deck.nx))
+        p, ovf = rebin_auto(p, tiling, mover_cap=256, interpret=True)
+        assert int(ovf) == 0
+    assert int(p.alive_count()) == n0
+
+
+def test_full_simulation_with_incremental_rebin_matches_sort():
+    base = Deck(
+        box_x=8.0, box_y=4.0, nx=64, ny=32, tile_nx=8, tile_ny=8,
+        species=(
+            SpeciesSpec("e", -1.0, 1.0, ppc=4, ux=0.3, uy=0.1, uth=0.05),
+            SpeciesSpec("i", +1.0, 5.0, ppc=4, ux=-0.1),
+        ),
+        precision="f32", kchunk=128, use_pallas="on",
+    )
+    sim_inc = Simulation(dataclasses.replace(base, rebin_mode="incremental"), seed=3)
+    sim_sort = Simulation(dataclasses.replace(base, rebin_mode="sort"), seed=3)
+    di = sim_inc.step(8)
+    ds = sim_sort.step(8)
+    assert int(di.overflow) == 0 and int(ds.overflow) == 0
+    np.testing.assert_allclose(
+        float(di.field_energy), float(ds.field_energy), rtol=1e-5, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(di.kinetic_energy), np.asarray(ds.kinetic_energy), rtol=1e-6
+    )
