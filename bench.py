@@ -26,9 +26,9 @@ def build(n_particles: int, grid: int, rebin_interval: int):
         box_y=float(grid) / 10.0,
         nx=grid,
         ny=grid,
-        tile_nx=16,
-        tile_ny=16,
-        guard=4,  # lets particles drift 3 cells -> re-bin every 8 steps
+        tile_nx=int(os.environ.get("BENCH_TILE", 16)),
+        tile_ny=int(os.environ.get("BENCH_TILE", 16)),
+        guard=int(os.environ.get("BENCH_GUARD", 4)),  # drift <= guard-1 cells between re-bins
         species=(
             SpeciesSpec("ele", charge=-1.0, mass=1.0, ppc=ppc, uth=0.05),
             # Immobile neutralizing background is implied (uniform density);

@@ -32,6 +32,11 @@ def main(argv=None):
     ap.add_argument("--sharded", action="store_true", help="run on all devices via the 2-D mesh")
     ap.add_argument("--ranks", type=int, default=1, help="fan snapshot files over N virtual ranks")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--diag-every", type=int, default=1,
+        help="record energies every N steps (each record syncs the device; "
+        "N>1 removes the per-step host round-trip on small problems)",
+    )
     ap.add_argument("--precision", choices=["f32", "f64"], default=None)
     ap.add_argument("--list", action="store_true", help="list available decks")
     ap.add_argument("--no-save", action="store_true", help="skip HDF5 snapshots")
@@ -117,7 +122,8 @@ def main(argv=None):
     print(f"deck={args.deck} grid={deck.ny}x{deck.nx} dt={deck.dt:.6g} steps={n_steps}", flush=True)
     for i in range(1, n_steps + 1):
         diag = sim.step()
-        hist.record(i, deck.dt, diag)
+        if i % args.diag_every == 0 or i == n_steps:
+            hist.record(i, deck.dt, diag)
         if i % save_every == 0:
             save(i)
             sps = hist.steps_per_sec()

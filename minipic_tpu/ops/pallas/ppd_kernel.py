@@ -77,7 +77,7 @@ def _kernel(
     counts_ref,  # scalar-prefetch: [T] live count per tile
     ox_ref, oy_ref,  # scalar-prefetch: [T] int32 tile origins (cell units)
     x_ref, y_ref, px_ref, py_ref, pz_ref, w_ref,  # [1, 1, 1, KC]
-    ex_ref, ey_ref, ez_ref, bx_ref, by_ref, bz_ref,  # [1, nyg, nxg]
+    fhx_ref, fix_ref,  # [1, 3*nyg, nxg] stagger-stacked fields (see below)
     xo_ref, yo_ref, pxo_ref, pyo_ref, pzo_ref,  # [1, 1, 1, KC]
     jx_ref, jy_ref, jz_ref,  # [1, nyg, nxg]
     *,
@@ -119,16 +119,21 @@ def _kernel(
         sy_i = _shape_vals(eta - cy, order)  # [nyg, KC]
         sy_h = _shape_vals(eta - cy - 0.5, order)
 
-        def gath(sx, sy, f_ref):  # -> [1, KC]
-            m = _dot_f_s(f_ref[0], sx)  # [nyg, KC]
-            return jnp.sum(m * sy, axis=0, keepdims=True)
+        # One dot per x-stagger class: the 3 components sharing Sx are
+        # stacked on the row axis (M = 3*nyg), tripling MXU row utilization
+        # vs six [nyg, nxg] dots.
+        m_h = _dot_f_s(fhx_ref[0], sx_h)  # [3*nyg, KC]: ex, by, bz rows
+        m_i = _dot_f_s(fix_ref[0], sx_i)  # [3*nyg, KC]: ey, ez, bx rows
 
-        e1 = gath(sx_h, sy_i, ex_ref)
-        e2 = gath(sx_i, sy_h, ey_ref)
-        e3 = gath(sx_i, sy_i, ez_ref)
-        b1 = gath(sx_i, sy_h, bx_ref)
-        b2 = gath(sx_h, sy_i, by_ref)
-        b3 = gath(sx_h, sy_h, bz_ref)
+        def red(m, lo, sy):  # -> [1, KC]
+            return jnp.sum(m[lo : lo + nyg] * sy, axis=0, keepdims=True)
+
+        e1 = red(m_h, 0, sy_i)
+        b2 = red(m_h, nyg, sy_i)
+        b3 = red(m_h, 2 * nyg, sy_h)
+        e2 = red(m_i, 0, sy_h)
+        e3 = red(m_i, nyg, sy_i)
+        b1 = red(m_i, 2 * nyg, sy_h)
 
         # Boris rotation (all [1, KC] lanewise)
         h = qm * dt * 0.5
@@ -215,6 +220,7 @@ def fused_push_deposit(
     nc = cap // kc
     pspec = pl.BlockSpec((1, 1, 1, kc), lambda i, k, *_: (i, k, 0, 0), memory_space=pltpu.VMEM)
     fspec = pl.BlockSpec((1, nyg, nxg), lambda i, k, *_: (i, 0, 0), memory_space=pltpu.VMEM)
+    f3spec = pl.BlockSpec((1, 3 * nyg, nxg), lambda i, k, *_: (i, 0, 0), memory_space=pltpu.VMEM)
 
     kernel = functools.partial(
         _kernel,
@@ -225,7 +231,7 @@ def fused_push_deposit(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # counts, ox, oy
         grid=(t_total, cap // kc),
-        in_specs=[pspec] * 6 + [fspec] * 6,
+        in_specs=[pspec] * 6 + [f3spec] * 2,
         out_specs=[pspec] * 5 + [fspec] * 3,
     )
 
@@ -245,6 +251,10 @@ def fused_push_deposit(
     def chunked(a):
         return a.reshape(t_total, nc, 1, kc)
 
+    # Stagger-class stacking for the gather dots (see kernel docstring).
+    f_hx = jnp.concatenate([ftiles.ex, ftiles.by, ftiles.bz], axis=1)
+    f_ix = jnp.concatenate([ftiles.ey, ftiles.ez, ftiles.bx], axis=1)
+
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -257,7 +267,7 @@ def fused_push_deposit(
         oy.reshape(t_total).astype(jnp.int32),
         chunked(p.x), chunked(p.y), chunked(p.px), chunked(p.py),
         chunked(p.pz), chunked(p.w),
-        ftiles.ex, ftiles.ey, ftiles.ez, ftiles.bx, ftiles.by, ftiles.bz,
+        f_hx, f_ix,
     )
     xn, yn, pxn, pyn, pzn = (a.reshape(t_total, cap) for a in outs[:5])
     jx, jy, jz = outs[5:]
