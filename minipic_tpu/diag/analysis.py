@@ -39,6 +39,20 @@ def find_peaks_1d(line: np.ndarray, distance: int = 10) -> np.ndarray:
     return peaks
 
 
+def find_peaks_periodic(line: np.ndarray, distance: int = 10) -> np.ndarray:
+    """Peak indices on a periodic signal: maxima straddling the wrap are
+    found by searching a circularly padded copy (a crest split across the
+    box edge is invisible to a plain find_peaks)."""
+    from scipy.signal import find_peaks
+
+    n = len(line)
+    pad = max(distance * 2, 16)
+    ext = np.concatenate([line[-pad:], line, line[:pad]])
+    peaks, _ = find_peaks(ext, distance=distance)
+    peaks = (peaks - pad) % n
+    return np.unique(peaks[(peaks >= 0) & (peaks < n)])
+
+
 def peak_amplitudes(line: np.ndarray, distance: int = 10, top: int = 2) -> list:
     """Amplitudes of the `top` strongest local maxima (the reference's
     numerical-error diagnostic, File_reader.py:345-360)."""
@@ -68,6 +82,43 @@ def fit_pulse_speed(
     t = np.asarray(times)
     ok = np.isfinite(pos)
     return float(np.polyfit(t[ok], pos[ok], 1)[0])
+
+
+def track_peak_speed(
+    times: Sequence[float],
+    lines: Sequence[np.ndarray],
+    dx: float,
+    distance: int = 10,
+) -> float:
+    """Carrier-crest speed by *continuity* tracking: follow the single peak
+    nearest to its last (advected) position instead of re-picking the
+    globally strongest one — the strongest crest hops +-lambda as the
+    envelope slides over the carrier, which biases a naive fit.  This is
+    the robust version of the report's first-peak fit (Fig. 10)."""
+    nx = len(lines[0])
+    box = nx * dx
+    t = np.asarray(times, np.float64)
+
+    line0 = np.asarray(lines[0])
+    peaks0 = find_peaks_periodic(line0, distance)
+    pos = float(peaks0[np.argmax(line0[peaks0])]) * dx
+    positions = [pos]
+    unwrapped = [pos]
+    v_est = 1.0  # c, the obvious prior
+    for i in range(1, len(lines)):
+        line = np.asarray(lines[i])
+        peaks = find_peaks_periodic(line, distance) * dx
+        if len(peaks) == 0:
+            positions.append(positions[-1])
+            unwrapped.append(unwrapped[-1])
+            continue
+        pred = (positions[-1] + v_est * (t[i] - t[i - 1])) % box
+        d = np.abs((peaks - pred + box / 2) % box - box / 2)
+        new = float(peaks[np.argmin(d)])
+        step = (new - positions[-1] + box / 2) % box - box / 2
+        positions.append(new)
+        unwrapped.append(unwrapped[-1] + step)
+    return float(np.polyfit(t, np.asarray(unwrapped), 1)[0])
 
 
 def fdtd_dispersion_velocity(k: float, dt: float, dx: float) -> float:

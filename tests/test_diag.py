@@ -62,3 +62,28 @@ def test_energy_drift_and_spectrum():
     f = np.sin(2 * math.pi * 3 * np.arange(64) / 64)[None, :] * np.ones((8, 1))
     spec = field_spectrum_x(f)
     assert spec.argmax() == 3
+
+
+def test_track_peak_speed_periodic_wrap():
+    """Continuity tracking must survive crests crossing the periodic box
+    edge (where plain find_peaks loses them) — the bug that biased the
+    reference-parity speed fit before find_peaks_periodic."""
+    from minipic_tpu.diag.analysis import track_peak_speed
+
+    dx, nx = 10 / 450, 450
+    x = np.arange(nx) * dx
+    kx = np.pi
+    v = 0.9998
+    times = np.arange(1, 120) * 0.3928  # several box transits
+
+    def envelope(u):
+        return np.where(np.abs(u) <= 1, np.cos(u * np.pi / 2) ** 2, 0)
+
+    lines = [
+        0.1
+        * np.sin(kx * (x - v * t))
+        * envelope(((x - 3.5 - v * t + 5) % 10 - 5) / 3.0)
+        for t in times
+    ]
+    got = track_peak_speed(times, lines, dx, distance=10)
+    np.testing.assert_allclose(got, v, atol=5e-4)
