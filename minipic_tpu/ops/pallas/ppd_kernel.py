@@ -50,14 +50,16 @@ def _shape_vals(u, order: int):
 def _dot_f_s(f, s):
     # field [nyg, nxg] x shape [nxg, KC] -> [nyg, KC]
     return jax.lax.dot_general(
-        f, s, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        f, s, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,  # default=bf16 breaks charge conservation
     )
 
 
 def _dot_ss(a, b):
     # [nyg, KC] x [nxg, KC] -> [nyg, nxg] (contract the particle lane axis)
     return jax.lax.dot_general(
-        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
@@ -69,7 +71,8 @@ def _prefix_sum_sublanes(v, n: int):
     col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
     ltri = (row >= col).astype(jnp.float32)
     return jax.lax.dot_general(
-        ltri, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ltri, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,  # default=bf16 breaks charge conservation
     )
 
 

@@ -94,7 +94,8 @@ def _extract_kernel(
 
             # chunk-local compaction: rank (1-based) via triangular matmul
             rank = jax.lax.dot_general(
-                mf, tri, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                mf, tri, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,  # bf16 ranks are exact only to 256
             )  # [1, kc]
             cnt = rank[0, kc - 1].astype(jnp.int32)
             p_mat = ((rank - 1.0) == out_row.astype(jnp.float32)) & moving
@@ -107,6 +108,7 @@ def _extract_kernel(
             compact = jax.lax.dot_general(
                 payload, p_mat.astype(jnp.float32),
                 (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,  # payload must pass through exactly
             )  # [N_CH, kc] -- mover m in column m
 
             # Append at the pending offset: rotate right by pc (< kc, and
@@ -238,6 +240,16 @@ def _append_kernel(
     fits = wm + n_in <= cap - 128
 
     do_ref[...] = jnp.zeros(do_ref.shape, do_ref.dtype)
+
+    # Aliasing shares the HBM buffers but does NOT pre-fill the output
+    # block: every output element must be written or it comes back as
+    # uninitialized VMEM.  Copy the full row first, then overlay the slab.
+    xo_ref[...] = x_ref[...]
+    yo_ref[...] = y_ref[...]
+    pxo_ref[...] = px_ref[...]
+    pyo_ref[...] = py_ref[...]
+    pzo_ref[...] = pz_ref[...]
+    wo_ref[...] = w_ref[...]
 
     # Slab geometry: dynamic lane stores must be 128-aligned, so anchor the
     # (b_in + 256)-wide slab at o = align128(min(wm, cap - b_slab)) and

@@ -31,9 +31,18 @@ from ..core.state import ParticleState
 
 
 def wrap_positions(p: ParticleState, nx: int, ny: int, periodic: bool) -> ParticleState:
-    """Apply the box boundary to raw (unwrapped) positions in cell units."""
+    """Apply the box boundary to raw (unwrapped) positions in cell units.
+
+    f32 gotcha: jnp.mod(a, n) can round to exactly n for a just below n,
+    yielding an out-of-grid position that downstream binning would treat as
+    off-grid (silently dropped, or worse).  Clamp the == n edge to 0.
+    """
     if periodic:
-        return p._replace(x=jnp.mod(p.x, nx), y=jnp.mod(p.y, ny))
+        x = jnp.mod(p.x, nx)
+        y = jnp.mod(p.y, ny)
+        x = jnp.where(x >= nx, x - nx, x)
+        y = jnp.where(y >= ny, y - ny, y)
+        return p._replace(x=x, y=y)
     inside = (p.x >= 0) & (p.x < nx) & (p.y >= 0) & (p.y < ny)
     return p._replace(
         w=jnp.where(inside, p.w, 0.0),
@@ -70,6 +79,11 @@ def rebin_flat(
     row = jnp.floor(flat.y / tile_ny).astype(jnp.int32) - row0
     in_grid = (col >= 0) & (col < tile_cols) & (row >= 0) & (row < tile_rows)
     alive = (flat.w > 0) & in_grid
+    # Live slots *outside* the grid must not exist (wrap/routing handles
+    # them); if any slip through, the filler bookkeeping below would assign
+    # them as live-weight "fillers" in arbitrary buckets.  Force the slow
+    # path and count them.
+    off_grid_live = jnp.sum(((flat.w > 0) & ~in_grid).astype(jnp.int32))
     tid = (row * tile_cols + col).astype(jnp.int32)
 
     # TPU cost model (measured on v5e): a random 12M-element gather ~100 ms,
@@ -116,8 +130,8 @@ def rebin_flat(
         valid = jnp.arange(capacity)[None, :] < counts[:, None]
         return tuple(jnp.where(valid, a[src], 0) for a in payload)
 
-    outs = jax.lax.cond(overflow == 0, fast, slow, None)
-    return ParticleState(*outs), overflow
+    outs = jax.lax.cond((overflow == 0) & (off_grid_live == 0), fast, slow, None)
+    return ParticleState(*outs), (overflow + off_grid_live).astype(jnp.int32)
 
 
 def rebin(p: ParticleState, tiling: Tiling) -> Tuple[ParticleState, jax.Array]:
@@ -221,7 +235,8 @@ def rebin_auto(
         return p2, dropped_b.sum().astype(jnp.int32)
 
     def slow(_):
-        return rebin(p, tiling)
+        out, ovf2 = rebin(p, tiling)
+        return out, ovf2.astype(jnp.int32)
 
     return jax.lax.cond(ok, fast, slow, None)
 

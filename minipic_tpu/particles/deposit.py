@@ -40,6 +40,10 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+_PREC = jax.lax.Precision.HIGHEST  # TPU default matmul precision is bf16,
+# which breaks exact charge conservation and force accuracy (measured:
+# continuity residual 0.5% of scale at DEFAULT vs round-off at HIGHEST)
+
 from .shapes import shape_matrix
 
 
@@ -76,18 +80,20 @@ def deposit_chunk(
     ax = jnp.cumsum(dsx, axis=-1)  # [T, kc, nxg]
     by1 = s0y + 0.5 * dsy  # [T, kc, nyg]
     coef_x = (-qw / (dt * dy))[..., None]
-    jx = jnp.einsum("tkj,tki->tji", by1 * coef_x, ax)
+    jx = jnp.einsum("tkj,tki->tji", by1 * coef_x, ax, precision=_PREC)
 
     # Jy: cumsum along y.
     ay = jnp.cumsum(dsy, axis=-1)
     bx1 = s0x + 0.5 * dsx
     coef_y = (-qw / (dt * dx))[..., None]
-    jy = jnp.einsum("tkj,tki->tji", ay * coef_y, bx1)
+    jy = jnp.einsum("tkj,tki->tji", ay * coef_y, bx1, precision=_PREC)
 
     # Jz: two outer-product terms.
     coef_z = (qw * vz / (dx * dy))[..., None]
-    jz = jnp.einsum("tkj,tki->tji", s0y * coef_z, s0x + 0.5 * dsx) + jnp.einsum(
-        "tkj,tki->tji", dsy * coef_z, 0.5 * s0x + (1.0 / 3.0) * dsx
+    jz = jnp.einsum(
+        "tkj,tki->tji", s0y * coef_z, s0x + 0.5 * dsx, precision=_PREC
+    ) + jnp.einsum(
+        "tkj,tki->tji", dsy * coef_z, 0.5 * s0x + (1.0 / 3.0) * dsx, precision=_PREC
     )
     return jx, jy, jz
 
@@ -98,4 +104,4 @@ def deposit_rho_chunk(xi, eta, qw, tile_ny: int, tile_nx: int, g: int, order: in
     sx = shape_matrix(xi, tile_nx, g, 0.0, order)
     sy = shape_matrix(eta, tile_ny, g, 0.0, order)
     coef = (qw / (dx * dy))[..., None]
-    return jnp.einsum("tkj,tki->tji", sy * coef, sx)
+    return jnp.einsum("tkj,tki->tji", sy * coef, sx, precision=_PREC)

@@ -27,6 +27,10 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+_PREC = jax.lax.Precision.HIGHEST  # TPU default matmul precision is bf16,
+# which breaks exact charge conservation and force accuracy (measured:
+# continuity residual 0.5% of scale at DEFAULT vs round-off at HIGHEST)
+
 from ..core.state import FieldState
 from .shapes import shape_matrix
 
@@ -55,8 +59,8 @@ def gather_chunk(ftiles: FieldState, xi, eta, tile_ny: int, tile_nx: int, g: int
     # Stack components by x-stagger class: one batched matmul each.
     f_hx = jnp.stack([ftiles.ex, ftiles.by, ftiles.bz], axis=1)  # [T,3,nyg,nxg]
     f_ix = jnp.stack([ftiles.ey, ftiles.ez, ftiles.bx], axis=1)
-    m_hx = jnp.einsum("tki,tcji->tckj", sx_h, f_hx)  # [T,3,kc,nyg]
-    m_ix = jnp.einsum("tki,tcji->tckj", sx_i, f_ix)
+    m_hx = jnp.einsum("tki,tcji->tckj", sx_h, f_hx, precision=_PREC)  # [T,3,kc,nyg]
+    m_ix = jnp.einsum("tki,tcji->tckj", sx_i, f_ix, precision=_PREC)
 
     def red(m, sy):  # [T,kc,nyg] * [T,kc,nyg] -> [T,kc]
         return jnp.sum(m * sy, axis=-1)

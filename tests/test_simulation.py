@@ -145,3 +145,28 @@ def test_two_stream_instability_grows_and_conserves_energy():
     # Energy conservation through growth + saturation (<0.1% target on the
     # benchmark; allow 0.2% at this resolution).
     assert abs(total1 - total0) / total0 < 2e-3, (total0, total1)
+
+
+def test_wrap_positions_never_returns_box_edge():
+    """f32 jnp.mod(a, n) can round to exactly n for a just below n; such a
+    position reads as off-grid downstream and (before the fix) was silently
+    dropped or — worse — misfiled as a live-weight filler by the fast
+    re-binning path (teleporting charge).  Regression for both."""
+    from minipic_tpu.particles.binning import rebin_flat, wrap_positions
+    from minipic_tpu.core.geometry import Tiling
+
+    nx = 64
+    # values that make f32 mod land exactly on the modulus
+    xs = jnp.zeros((1, 64), jnp.float32)
+    xs = xs.at[0, :4].set(jnp.asarray([nx - 1e-7, -1e-7, nx * 2 - 1e-7, 63.5], jnp.float32))
+    w = jnp.zeros((1, 64), jnp.float32).at[0, :4].set(1.0)
+    z = jnp.zeros((1, 64), jnp.float32)
+    p = ParticleState(x=xs, y=z + 1.0, px=z, py=z, pz=z, w=w)
+    p2 = wrap_positions(p, nx, 8, periodic=True)
+    assert float(jnp.where(p2.w > 0, p2.x, 0).max()) < nx
+    assert float(p2.x.min()) >= 0.0
+    # and the binner keeps all four alive
+    flat = jax.tree_util.tree_map(lambda a: a.reshape(64), p2)
+    out, ovf = rebin_flat(flat, tile_rows=1, tile_cols=8, tile_nx=8, tile_ny=8, capacity=8)
+    assert int(ovf) == 0
+    assert int((out.w > 0).sum()) == 4
