@@ -99,6 +99,10 @@ class Deck:
     kchunk: int = 256
     # Fused Pallas gather/push/deposit kernel: "auto" (TPU + f32), "on", "off".
     use_pallas: str = "auto"
+    # Field-gather matmul precision: "exact" (full f32, default) or "fast"
+    # (TPU-native bf16 inputs, ~0.4% force error).  Deposition always runs
+    # exact — charge conservation is never traded.
+    gather_precision: str = "exact"
     # Re-binning strategy: "sort" = full filler-key sort every pass;
     # "incremental" = movers-only kernels + watermark defrag (single-device,
     # requires the pallas backend); "auto" follows use_pallas.

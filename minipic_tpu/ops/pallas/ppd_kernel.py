@@ -47,11 +47,13 @@ def _shape_vals(u, order: int):
     return jnp.where(au <= 0.5, inner, jnp.where(au <= 1.5, outer, 0.0))
 
 
-def _dot_f_s(f, s):
-    # field [nyg, nxg] x shape [nxg, KC] -> [nyg, KC]
+def _dot_f_s(f, s, prec=jax.lax.Precision.HIGHEST):
+    # field [nyg, nxg] x shape [nxg, KC] -> [nyg, KC].  Gather precision is
+    # selectable (deck.gather_precision): bf16 inputs cost ~0.4% force error
+    # but 6x less MXU time; deposition dots are never relaxed.
     return jax.lax.dot_general(
         f, s, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,  # default=bf16 breaks charge conservation
+        precision=prec,
     )
 
 
@@ -86,6 +88,7 @@ def _kernel(
     *,
     nxt: int, nyt: int, g: int, order: int,
     qm: float, q: float, dt: float, dx: float, dy: float, kc: int,
+    gather_prec=jax.lax.Precision.HIGHEST,
 ):
     t = pl.program_id(0)
     k = pl.program_id(1)
@@ -125,8 +128,8 @@ def _kernel(
         # One dot per x-stagger class: the 3 components sharing Sx are
         # stacked on the row axis (M = 3*nyg), tripling MXU row utilization
         # vs six [nyg, nxg] dots.
-        m_h = _dot_f_s(fhx_ref[0], sx_h)  # [3*nyg, KC]: ex, by, bz rows
-        m_i = _dot_f_s(fix_ref[0], sx_i)  # [3*nyg, KC]: ey, ez, bx rows
+        m_h = _dot_f_s(fhx_ref[0], sx_h, gather_prec)  # [3*nyg, KC]: ex, by, bz
+        m_i = _dot_f_s(fix_ref[0], sx_i, gather_prec)  # [3*nyg, KC]: ey, ez, bx
 
         def red(m, lo, sy):  # -> [1, KC]
             return jnp.sum(m[lo : lo + nyg] * sy, axis=0, keepdims=True)
@@ -205,6 +208,7 @@ def fused_push_deposit(
     tile_ny: int, tile_nx: int, g: int,
     dt: float, dx: float, dy: float, kc: int,
     interpret: bool = False,
+    gather_precision: str = "exact",
 ):
     """Returns (pushed ParticleState with unwrapped positions, (jx, jy, jz)
     tile stacks [T, nyg, nxg]).  Drop-in for the XLA chunk-scan path."""
@@ -229,6 +233,11 @@ def fused_push_deposit(
         _kernel,
         nxt=tile_nx, nyt=tile_ny, g=g, order=order,
         qm=qm, q=q, dt=dt, dx=dx, dy=dy, kc=kc,
+        gather_prec=(
+            jax.lax.Precision.DEFAULT
+            if gather_precision == "fast"
+            else jax.lax.Precision.HIGHEST
+        ),
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

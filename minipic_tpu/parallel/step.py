@@ -106,6 +106,7 @@ def build_sharded_step(deck: Deck, mesh: Mesh):
                 vma_axes=("ry", "rx"),
                 backend=backend,
                 interpret=interpret,
+                gather_precision=deck.gather_precision,
             )
             jx = sjx if jx is None else jx + sjx
             jy = sjy if jy is None else jy + sjy

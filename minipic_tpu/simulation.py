@@ -87,6 +87,7 @@ def advance_species_tiles(
     vma_axes: Tuple[str, ...] = (),
     backend: str = "xla",
     interpret: bool = False,
+    gather_precision: str = "exact",
 ) -> Tuple[ParticleState, Tuple[jax.Array, jax.Array, jax.Array]]:
     """Gather + push + move + deposit for one species over its tile
     buffers, scanned in slot chunks.  Returns the pushed particles
@@ -115,7 +116,7 @@ def advance_species_tiles(
         )
         kwargs = dict(
             qm=qm, q=q, order=order, tile_ny=nyt, tile_nx=nxt, g=g,
-            dt=dt, dx=dx, dy=dy, kc=kc,
+            dt=dt, dx=dx, dy=dy, kc=kc, gather_precision=gather_precision,
         )
         if interpret:
             kwargs["interpret"] = True
@@ -208,6 +209,7 @@ def build_step(deck: Deck):
                 kchunk=deck.kchunk,
                 backend=backend,
                 interpret=interpret,
+                gather_precision=deck.gather_precision,
             )
             jx = sjx if jx is None else jx + sjx
             jy = sjy if jy is None else jy + sjy
