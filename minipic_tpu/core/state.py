@@ -135,3 +135,13 @@ def kinetic_energy(p: ParticleState, mass: float):
     px, py, pz, w = (a.astype(acc) for a in (p.px, p.py, p.pz, p.w))
     gamma = jnp.sqrt(1.0 + px**2 + py**2 + pz**2)
     return jnp.sum(w * mass * (gamma - 1.0))
+
+
+def momentum_sum(p: ParticleState, mass: float):
+    """Total momentum  Σ w m u  per axis — with the field (Poynting)
+    momentum this is the conservation diagnostic SURVEY.md §5 calls for."""
+    acc = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
+    w = p.w.astype(acc) * mass
+    return jnp.stack(
+        [jnp.sum(w * p.px.astype(acc)), jnp.sum(w * p.py.astype(acc)), jnp.sum(w * p.pz.astype(acc))]
+    )

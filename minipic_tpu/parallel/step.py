@@ -34,6 +34,7 @@ from ..core.state import (
     SimState,
     field_energy,
     kinetic_energy,
+    momentum_sum,
 )
 from ..fields.boundary import local_damping_mask
 from ..fields.tiles import extract_field_tiles, fold_tiles
@@ -88,6 +89,7 @@ def build_sharded_step(deck: Deck, mesh: Mesh):
         new_species = []
         jx = jy = jz = None
         kes = []
+        moms = []
         for spec, p in zip(deck.species, species):
             pnew, (sjx, sjy, sjz) = advance_species_tiles(
                 p,
@@ -113,6 +115,7 @@ def build_sharded_step(deck: Deck, mesh: Mesh):
             jz = sjz if jz is None else jz + sjz
             new_species.append(pnew)
             kes.append(lax.psum(kinetic_energy(pnew, spec.mass), ("ry", "rx")))
+            moms.append(lax.psum(momentum_sum(pnew, spec.mass), ("ry", "rx")))
 
         # --- 3. current: fold tiles locally, then guard rings across chips
         if jx is not None:
@@ -190,11 +193,12 @@ def build_sharded_step(deck: Deck, mesh: Mesh):
             field_energy=fe,
             kinetic_energy=jnp.stack(kes) if kes else jnp.zeros((0,), deck.dtype),
             overflow=overflow,
+            momentum=jnp.stack(moms) if moms else jnp.zeros((0, 3), deck.dtype),
         )
         return fnew, tuple(binned), diag
 
     in_specs = (fspec, (pspec,) * n_sp, P())
-    out_specs = (fspec, (pspec,) * n_sp, StepDiag(P(), P(), P()))
+    out_specs = (fspec, (pspec,) * n_sp, StepDiag(P(), P(), P(), P()))
 
     smapped = jax.shard_map(
         local_step, mesh=mesh, in_specs=in_specs, out_specs=out_specs

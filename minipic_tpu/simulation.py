@@ -40,7 +40,15 @@ import jax
 import jax.numpy as jnp
 
 from .core.config import Deck
-from .core.state import CurrentState, FieldState, ParticleState, SimState, field_energy, kinetic_energy
+from .core.state import (
+    CurrentState,
+    FieldState,
+    ParticleState,
+    SimState,
+    field_energy,
+    kinetic_energy,
+    momentum_sum,
+)
 from .fields import init as finit
 from .fields.boundary import apply_damping, damping_mask
 from .fields.halo import fold_block_periodic, pad_fields_periodic
@@ -55,11 +63,13 @@ from .particles.species import load_species
 
 class StepDiag(NamedTuple):
     """Per-step on-device observables (SURVEY.md §5: the reference had no
-    runtime metrics; these double as the energy-conservation diagnostic)."""
+    runtime metrics; these double as the energy/momentum-conservation
+    diagnostics)."""
 
     field_energy: jax.Array
     kinetic_energy: jax.Array  # [n_species]
     overflow: jax.Array  # particles dropped at rebin
+    momentum: jax.Array  # [n_species, 3] total w*u per species
 
 
 def _tile_origins(tiling, dtype):
@@ -192,6 +202,7 @@ def build_step(deck: Deck):
         new_species = []
         jx = jy = jz = None
         kes = []
+        moms = []
         for spec, p in zip(deck.species, state.species):
             pnew, (sjx, sjy, sjz) = advance_species_tiles(
                 p,
@@ -216,6 +227,7 @@ def build_step(deck: Deck):
             jz = sjz if jz is None else jz + sjz
             new_species.append(pnew)
             kes.append(kinetic_energy(pnew, spec.mass))
+            moms.append(momentum_sum(pnew, spec.mass))
 
         if jx is not None:
             def to_global(t):
@@ -269,6 +281,7 @@ def build_step(deck: Deck):
             field_energy=field_energy(f, dx, dy),
             kinetic_energy=jnp.stack(kes) if kes else jnp.zeros((0,), deck.dtype),
             overflow=overflow,
+            momentum=jnp.stack(moms) if moms else jnp.zeros((0, 3), deck.dtype),
         )
         new_state = SimState(fields=f, species=tuple(binned), step=state.step + 1)
         return new_state, diag

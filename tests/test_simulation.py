@@ -170,3 +170,16 @@ def test_wrap_positions_never_returns_box_edge():
     out, ovf = rebin_flat(flat, tile_rows=1, tile_cols=8, tile_nx=8, tile_ny=8, capacity=8)
     assert int(ovf) == 0
     assert int((out.w > 0).sum()) == 4
+
+
+def test_momentum_diagnostic_and_conservation():
+    """Symmetric counter-streaming beams: total particle momentum starts at
+    zero and stays ~zero (momentum-conserving gather/deposit pair)."""
+    sim, deck = _seeded_two_stream(ppc=4)
+    d = sim.step(50)
+    assert d.momentum.shape == (3, 3)
+    total = np.asarray(d.momentum).sum(axis=0)
+    # px scale of one beam for comparison
+    scale = abs(float(np.asarray(d.momentum)[0, 0])) + 1e-30
+    assert abs(total[0]) < 1e-6 * max(scale, 1.0)
+    assert abs(total[1]) < 1e-9 and abs(total[2]) < 1e-9
