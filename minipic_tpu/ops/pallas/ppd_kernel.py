@@ -209,6 +209,7 @@ def fused_push_deposit(
     dt: float, dx: float, dy: float, kc: int,
     interpret: bool = False,
     gather_precision: str = "exact",
+    vma_axes=(),
 ):
     """Returns (pushed ParticleState with unwrapped positions, (jx, jy, jz)
     tile stacks [T, nyg, nxg]).  Drop-in for the XLA chunk-scan path."""
@@ -247,9 +248,12 @@ def fused_push_deposit(
         out_specs=[pspec] * 5 + [fspec] * 3,
     )
 
-    out_shape = [jax.ShapeDtypeStruct((t_total, nc, 1, kc), dtype)] * 5 + [
-        jax.ShapeDtypeStruct((t_total, nyg, nxg), dtype)
-    ] * 3
+    # Inside shard_map (check_vma), outputs must declare their varying axes.
+    vma = frozenset(vma_axes) if vma_axes else None
+    def sds(shape):
+        return (jax.ShapeDtypeStruct(shape, dtype, vma=vma) if vma
+                else jax.ShapeDtypeStruct(shape, dtype))
+    out_shape = [sds((t_total, nc, 1, kc))] * 5 + [sds((t_total, nyg, nxg))] * 3
 
     flops_per_part = (6 + 4) * nxg * nyg * 2 + 300
     cost = pl.CostEstimate(

@@ -48,6 +48,7 @@ def _upper_tri(n):
 
 
 def _extract_kernel(
+    origin_ref,  # scalar-prefetch [2]: (row0, col0) global tile offsets
     x_ref, y_ref, px_ref, py_ref, pz_ref, w_ref,  # in: [1, 1, K]
     wo_ref,  # out: [1, 1, K] new weights
     mov_ref,  # out: [1, N_CH, B] outgoing buffer (channel-major)
@@ -56,8 +57,8 @@ def _extract_kernel(
     kc: int, n_chunks: int, b_cap: int,
 ):
     t = pl.program_id(0)
-    my_col = (t % tile_cols).astype(jnp.float32)
-    my_row = (t // tile_cols).astype(jnp.float32)
+    my_col = (origin_ref[1] + t % tile_cols).astype(jnp.float32)
+    my_row = (origin_ref[0] + t // tile_cols).astype(jnp.float32)
 
     mov_ref[...] = jnp.zeros(mov_ref.shape, mov_ref.dtype)
     tri = _upper_tri(kc)
@@ -174,9 +175,13 @@ def _extract_kernel(
 def extract_movers(
     p: ParticleState, *, tile_rows: int, tile_cols: int, tile_ny: int,
     tile_nx: int, b_cap: int, kc: int = 512, interpret: bool = False,
+    row0=0, col0=0, vma_axes=(),
 ):
     """Returns (p with leavers' w zeroed, movers ParticleState [T, b_cap]
-    flat-compacted per tile, watermark [T] i32, dropped [T] i32)."""
+    flat-compacted per tile, watermark [T] i32, dropped [T] i32).
+
+    row0/col0: global tile offsets of this (shard-local) grid — traced
+    scalars in sharded runs."""
     t_total, cap = p.num_tiles, p.capacity
     if cap % kc or kc > b_cap:
         for d in (512, 384, 256, 128):
@@ -195,23 +200,36 @@ def extract_movers(
         tile_nx=tile_nx, tile_ny=tile_ny, tile_cols=tile_cols,
         tile_rows=tile_rows, kc=kc, n_chunks=cap // kc, b_cap=b_cap,
     )
-    pin = pl.BlockSpec((1, 1, cap), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    mspec = pl.BlockSpec((1, N_CH, b_cap), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    pin = pl.BlockSpec((1, 1, cap), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM)
+    mspec = pl.BlockSpec((1, N_CH, b_cap), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM)
 
     def r3(a):
         return a.reshape(t_total, 1, cap)
 
-    wo, mov = pl.pallas_call(
-        kern,
+    origin = jnp.stack(
+        [jnp.asarray(row0, jnp.int32), jnp.asarray(col0, jnp.int32)]
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(t_total,),
         in_specs=[pin] * 6,
         out_specs=[pin, mspec],
+    )
+    vma = frozenset(vma_axes) if vma_axes else None
+
+    def sds(shape, dt_):
+        return (jax.ShapeDtypeStruct(shape, dt_, vma=vma) if vma
+                else jax.ShapeDtypeStruct(shape, dt_))
+
+    wo, mov = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((t_total, 1, cap), p.w.dtype),
-            jax.ShapeDtypeStruct((t_total, N_CH, b_cap), jnp.float32),
+            sds((t_total, 1, cap), p.w.dtype),
+            sds((t_total, N_CH, b_cap), jnp.float32),
         ],
         interpret=interpret,
-    )(r3(p.x), r3(p.y), r3(p.px), r3(p.py), r3(p.pz), r3(p.w))
+    )(origin, r3(p.x), r3(p.y), r3(p.px), r3(p.py), r3(p.pz), r3(p.w))
 
     wm = mov[:, 6, 0].astype(jnp.int32)
     dropped = mov[:, 6, 1].astype(jnp.int32)
@@ -287,7 +305,8 @@ def _append_kernel(
 
 
 def append_incoming(
-    p: ParticleState, incoming: ParticleState, wm, *, interpret: bool = False
+    p: ParticleState, incoming: ParticleState, wm, *, interpret: bool = False,
+    vma_axes=(),
 ):
     """Write each tile's incoming slab at its watermark (in-place via
     aliasing).  Returns (p2, dropped [T] i32)."""
@@ -314,11 +333,17 @@ def append_incoming(
         in_specs=[pin] * 6 + [iin] * 6,
         out_specs=[pin] * 6 + [dspec],
     )
+    vma = frozenset(vma_axes) if vma_axes else None
+
+    def sds(shape, dt_):
+        return (jax.ShapeDtypeStruct(shape, dt_, vma=vma) if vma
+                else jax.ShapeDtypeStruct(shape, dt_))
+
     outs = pl.pallas_call(
         functools.partial(_append_kernel, b_in=b_in, cap=cap),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((t_total, 1, cap), p.x.dtype)] * 6
-        + [jax.ShapeDtypeStruct((t_total, 1, 128), jnp.float32)],
+        out_shape=[sds((t_total, 1, cap), p.x.dtype)] * 6
+        + [sds((t_total, 1, 128), jnp.float32)],
         input_output_aliases={1: 0, 2: 1, 3: 2, 4: 3, 5: 4, 6: 5},
         interpret=interpret,
     )(

@@ -60,6 +60,9 @@ def build_sharded_step(deck: Deck, mesh: Mesh):
     t_local = ltr * ltc
     xcap = deck.exchange_cap(ny_l, nx_l)
     backend, interpret = resolve_backend(deck)
+    use_incremental = deck.rebin_mode == "incremental" or (
+        deck.rebin_mode == "auto" and backend == "pallas"
+    )
 
     fspec = FieldState(*(field_spec(),) * 6)
     pspec = ParticleState(*(particle_spec(),) * 6)
@@ -149,7 +152,7 @@ def build_sharded_step(deck: Deck, mesh: Mesh):
         for p in new_species:
             p = wrap_positions(p, deck.nx, deck.ny, periodic)
 
-            def do_rebin(pp):
+            def do_rebin_sort(pp):
                 merged, dropped = exchange_particles(
                     pp,
                     block_x0=x0,
@@ -172,7 +175,74 @@ def build_sharded_step(deck: Deck, mesh: Mesh):
                     row0=trow0,
                     col0=tcol0,
                 )
-                return out, ov + dropped
+                return out, (ov + dropped).astype(jnp.int32)
+
+            mc = deck.mover_cap(p.capacity) if use_incremental else 0
+
+            def do_rebin_incremental(pp, mc=mc):
+                """Sharded movers-only pass: extract per shard, ppermute
+                only the mover buffers, small sort, append at watermarks.
+                Falls back to the full sort of the ORIGINAL state (lossless)
+                when any shard hits a buffer/headroom limit; the predicate
+                is psum-agreed so every shard takes the same branch (the
+                branches contain collectives)."""
+                from ..ops.pallas.rebin_kernels import append_incoming, extract_movers
+
+                p1, movers, wm, dropped_a = extract_movers(
+                    pp,
+                    tile_rows=ltr,
+                    tile_cols=ltc,
+                    tile_ny=nyt,
+                    tile_nx=nxt,
+                    b_cap=mc,
+                    interpret=interpret,
+                    row0=trow0,
+                    col0=tcol0,
+                    vma_axes=("ry", "rx"),
+                )
+                merged, dropped_x = exchange_particles(
+                    movers,
+                    block_x0=x0,
+                    block_y0=y0,
+                    block_nx=nx_l,
+                    block_ny=ny_l,
+                    nx=deck.nx,
+                    ny=deck.ny,
+                    rows=rows,
+                    cols=cols,
+                    cap=xcap,
+                )
+                incoming, ovf_small = rebin_flat(
+                    merged,
+                    tile_rows=ltr,
+                    tile_cols=ltc,
+                    tile_nx=nxt,
+                    tile_ny=nyt,
+                    capacity=mc,
+                    row0=trow0,
+                    col0=tcol0,
+                )
+                n_in = jnp.sum((incoming.w > 0).astype(jnp.int32), axis=1)
+                ok_local = (
+                    (dropped_a.sum() == 0)
+                    & (dropped_x == 0)
+                    & (ovf_small == 0)
+                    & jnp.all(wm + 2 * n_in <= pp.capacity - 128)
+                )
+                ok = lax.psum(ok_local.astype(jnp.int32), ("ry", "rx")) == rows * cols
+
+                def fast(_):
+                    p2, db = append_incoming(
+                        p1, incoming, wm, interpret=interpret, vma_axes=("ry", "rx")
+                    )
+                    return p2, db.sum().astype(jnp.int32)
+
+                def slow(_):
+                    return do_rebin_sort(pp)
+
+                return lax.cond(ok, fast, slow, None)
+
+            do_rebin = do_rebin_incremental if (use_incremental and mc > 0) else do_rebin_sort
 
             if deck.rebin_interval == 1:
                 p, ov = do_rebin(p)
@@ -200,8 +270,12 @@ def build_sharded_step(deck: Deck, mesh: Mesh):
     in_specs = (fspec, (pspec,) * n_sp, P())
     out_specs = (fspec, (pspec,) * n_sp, StepDiag(P(), P(), P(), P()))
 
+    # check_vma=False: the varying-axis *checker* trips on unvarying loop
+    # indices inside Pallas interpret-mode lowering (dynamic_slice mixing);
+    # semantics are unaffected -- collectives are explicit in this code.
     smapped = jax.shard_map(
-        local_step, mesh=mesh, in_specs=in_specs, out_specs=out_specs
+        local_step, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
     )
 
     def step(state: SimState):

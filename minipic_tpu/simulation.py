@@ -127,6 +127,7 @@ def advance_species_tiles(
         kwargs = dict(
             qm=qm, q=q, order=order, tile_ny=nyt, tile_nx=nxt, g=g,
             dt=dt, dx=dx, dy=dy, kc=kc, gather_precision=gather_precision,
+            vma_axes=vma_axes,
         )
         if interpret:
             kwargs["interpret"] = True

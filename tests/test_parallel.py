@@ -153,3 +153,35 @@ def test_cross_shard_migration_no_losses():
         assert int(d.overflow) == 0
     n1 = sum(int(s.alive_count()) for s in sh.state.species)
     assert n0 == n1
+
+
+def test_sharded_incremental_rebin_matches_single_device():
+    """Force the movers-only sharded re-bin (Pallas interpret + incremental)
+    and compare against the single-device run — the cross-shard version of
+    the incremental-vs-sort equivalence."""
+    deck = _deck(
+        mesh_shape=(2, 2),
+        use_pallas="on",
+        rebin_mode="incremental",
+        precision="f32",
+        kchunk=64,
+        capacity_headroom=3.0,
+    )
+    ref = Simulation(deck, seed=7)
+    sh = ShardedSimulation(deck, seed=7, devices=jax.devices()[:4])
+    dref = ref.step(10)
+    dsh = sh.step(10)
+    assert int(dref.overflow) == 0 and int(dsh.overflow) == 0
+    np.testing.assert_allclose(
+        float(dsh.field_energy), float(dref.field_energy), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(dsh.kinetic_energy), np.asarray(dref.kinetic_energy), rtol=1e-5
+    )
+    # exact alive-particle conservation
+    n_ref = sum(int(s.alive_count()) for s in ref.state.species)
+    n_sh = sum(int(s.alive_count()) for s in sh.state.species)
+    n0 = sum(
+        deck.species[i].ppc * deck.nx * deck.ny for i in range(len(deck.species))
+    )
+    assert n_ref == n_sh == n0
