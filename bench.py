@@ -37,6 +37,9 @@ def build(n_particles: int, grid: int, rebin_interval: int):
         precision="f32",
         rebin_interval=rebin_interval,
         capacity_headroom=float(os.environ.get("BENCH_HEADROOM", 1.1)),
+        # movers are ~2% of slots at uth=0.05/8 steps; 4096 covers 2x bursts
+        # and halves the mover-sort + extraction buffers vs the cap//8 default
+        mover_capacity=int(os.environ.get("BENCH_MOVER_CAP", 4096)),
         kchunk=4096,  # larger chunks amortize Pallas grid-step overhead (measured)
     )
     sim = Simulation(deck)
