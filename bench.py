@@ -59,6 +59,18 @@ def build(n_particles: int, grid: int, rebin_interval: int):
     return sim, jax.jit(multi, static_argnums=1), deck
 
 
+def _is_oom(e: Exception) -> bool:
+    """True only for memory exhaustion — any other failure (shape bug,
+    lowering error) must abort the ladder, not misreport as 'slow'."""
+    msg = str(e).lower()
+    return (
+        "resource_exhausted" in msg
+        or "out of memory" in msg
+        or "oom" in msg
+        or "allocat" in msg and "fail" in msg
+    )
+
+
 def main():
     grid = int(os.environ.get("BENCH_GRID", 512))
     target_particles = float(os.environ.get("BENCH_PARTICLES", 1e8))
@@ -87,8 +99,12 @@ def main():
             }
             print(json.dumps(out))
             return
-        except Exception as e:  # OOM fallback ladder
+        except Exception as e:
             err = e
+            if not _is_oom(e):
+                break  # real bug — do not retry smaller
+            print(f"bench: {n_try:.1e} particles OOM, retrying smaller: "
+                  f"{str(e)[:200]}", file=sys.stderr)
             continue
     print(json.dumps({"metric": "bench-failed", "value": 0, "unit": "pushes/s",
                       "vs_baseline": 0, "error": str(err)[:300]}))

@@ -21,6 +21,26 @@ import os
 import sys
 
 
+def wipe_run_artifacts(out: str) -> int:
+    """Remove a previous run's artifacts from `out` (snapshots, params,
+    history, checkpoint).  The reference deletes and recreates the whole
+    Simulation/Fields/ folder at start (Auxiliar_functions.cpp:275-295,
+    PIC_2D.cpp:150-164); we remove only the known artifact patterns so a
+    mistyped --out can never destroy unrelated files.  Returns #removed."""
+    import glob
+
+    n = 0
+    for pattern in ("fields_rank_*.h5", "params.txt", "history.json",
+                    "checkpoint.npz", "particles_rank_*.h5"):
+        for path in glob.glob(os.path.join(out, pattern)):
+            try:
+                os.remove(path)
+                n += 1
+            except OSError:
+                pass
+    return n
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="minipic_tpu", description=__doc__)
     ap.add_argument("--deck", default="reference_pulse", help="named deck (decks/standard.py)")
@@ -40,6 +60,13 @@ def main(argv=None):
     ap.add_argument("--precision", choices=["f32", "f64"], default=None)
     ap.add_argument("--list", action="store_true", help="list available decks")
     ap.add_argument("--no-save", action="store_true", help="skip HDF5 snapshots")
+    ap.add_argument(
+        "--keep-existing", action="store_true",
+        help="do NOT wipe stale run artifacts from --out first (the default "
+        "mirrors the reference's delete-and-recreate folder lifecycle, "
+        "Auxiliar_functions.cpp:275-295, so old snapshots never mix into a "
+        "new run's available_steps)",
+    )
     ap.add_argument(
         "--platform",
         default=None,
@@ -95,6 +122,8 @@ def main(argv=None):
     n_steps = args.steps if args.steps is not None else deck.total_steps
     save_every = args.save_every if args.save_every is not None else deck.save_frequency
     os.makedirs(args.out, exist_ok=True)
+    if not args.keep_existing:
+        wipe_run_artifacts(args.out)
     write_params(deck, args.out)
     hist = RunHistory()
 

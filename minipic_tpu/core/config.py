@@ -183,6 +183,13 @@ class Deck:
 
     def validate(self) -> None:
         t = self.tiling  # raises on divisibility violation
+        if 2 * self.guard > min(self.tile_nx, self.tile_ny):
+            # fields/tiles.py window extract/fold requires guard strips from
+            # adjacent tiles only (2*guard <= tile edge).
+            raise ValueError(
+                f"guard={self.guard} too large for tile "
+                f"{self.tile_ny}x{self.tile_nx}: need 2*guard <= tile edge"
+            )
         for s in self.species:
             support = s.shape_order + 2  # shape width + <=1 cell of motion
             if self.guard * 2 < support:

@@ -146,7 +146,14 @@ static void worker() {
       g_written++;
     else
       g_errors++;
-    g_inflight--;
+    {
+      // Decrement under the lock so the predicate change is ordered with
+      // mpw_flush's condition_variable wait (otherwise a flush that checks
+      // the predicate between our decrement and notify can miss the final
+      // wakeup and block until an unrelated job completes).
+      std::lock_guard<std::mutex> lk(g_mu);
+      g_inflight--;
+    }
     g_cv.notify_all();
   }
 }

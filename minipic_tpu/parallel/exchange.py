@@ -81,14 +81,15 @@ def exchange_particles(
     rows: int,
     cols: int,
     cap: int,
-) -> Tuple[ParticleState, jax.Array, jax.Array]:
+) -> Tuple[ParticleState, jax.Array]:
     """Ship off-shard particles to neighbor shards.
 
     p: local [T_local, K] buffers, positions global (already box-wrapped).
     block_x0/block_y0: this shard's cell-block origin (traced).
-    Returns (flat local+received ParticleState of length T_local*K + 9*cap,
-    received mask padding via w=0, n_dropped).  Feed the result to the
-    local re-binning sort.
+    Returns (merged, n_dropped): a flat local+received ParticleState of
+    length T_local*K + 9*cap (dead slots padded with w=0), and the count of
+    particles dropped (buffer overflow, or >1 shard-hop away — see below).
+    Feed the result to the local re-binning sort.
     """
     n = p.num_tiles * p.capacity
     flat = jax.tree_util.tree_map(lambda a: a.reshape(n), p)
@@ -102,13 +103,19 @@ def exchange_particles(
     dr = srow - myrow
     dc = dc - cols * jnp.rint(dc / cols).astype(jnp.int32) if cols > 1 else dc * 0
     dr = dr - rows * jnp.rint(dr / rows).astype(jnp.int32) if rows > 1 else dr * 0
-    # Anything beyond one hop is unreachable this pass: count as dropped.
+    # Anything beyond one hop is unreachable this pass: count it as dropped
+    # and kill it (w=0) so it is neither shipped one clipped hop with live
+    # weight nor double-counted downstream as an off-grid-live slot.
+    # Deck.validate + build_sharded_step bound drift so this cannot happen
+    # for physical motion; it guards against corrupted positions.
     too_far = (jnp.abs(dc) > 1) | (jnp.abs(dr) > 1)
+    n_too_far = jnp.sum(too_far & (flat.w > 0)).astype(jnp.int32)
+    flat = flat._replace(w=jnp.where(too_far, 0.0, flat.w))
     dc = jnp.clip(dc, -1, 1)
     dr = jnp.clip(dr, -1, 1)
 
     buf, stay, dropped = _pack(flat, dr, dc, cap)
-    dropped = dropped + jnp.sum(too_far & (flat.w > 0)).astype(jnp.int32)
+    dropped = dropped + n_too_far
     routed = _route(buf, rows, cols)  # [3,3,6,cap], all local now
 
     recv = routed.transpose(2, 0, 1, 3).reshape(_NF, 9 * cap)

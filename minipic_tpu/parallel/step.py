@@ -59,6 +59,16 @@ def build_sharded_step(deck: Deck, mesh: Mesh):
     periodic = deck.boundary == "periodic"
     t_local = ltr * ltc
     xcap = deck.exchange_cap(ny_l, nx_l)
+    if deck.species and rows * cols > 1:
+        # Cross-shard routing reaches mesh neighbors only (one hop per
+        # re-bin); drift between re-bins must stay within one shard block.
+        max_drift = deck.rebin_interval * deck.dt / min(deck.dx, deck.dy)
+        if max_drift > min(nx_l, ny_l):
+            raise ValueError(
+                f"rebin_interval={deck.rebin_interval} allows "
+                f"{max_drift:.1f} cells of drift but the shard block is "
+                f"only {ny_l}x{nx_l} — particles could skip a shard"
+            )
     backend, interpret = resolve_backend(deck)
     use_incremental = deck.rebin_mode == "incremental" or (
         deck.rebin_mode == "auto" and backend == "pallas"
@@ -182,10 +192,15 @@ def build_sharded_step(deck: Deck, mesh: Mesh):
             def do_rebin_incremental(pp, mc=mc):
                 """Sharded movers-only pass: extract per shard, ppermute
                 only the mover buffers, small sort, append at watermarks.
-                Falls back to the full sort of the ORIGINAL state (lossless)
-                when any shard hits a buffer/headroom limit; the predicate
-                is psum-agreed so every shard takes the same branch (the
-                branches contain collectives)."""
+                Falls back to the full sort of the ORIGINAL state when any
+                shard hits a buffer/headroom limit; the predicate is
+                psum-agreed so every shard takes the same branch (the
+                branches contain collectives).  The fallback is lossless for
+                mover-buffer/headroom triggers; when the trigger is
+                *exchange*-buffer overflow (dropped_x != 0) the fallback
+                reruns exchange_particles at the same xcap and drops the
+                same particles — the drop is reported via the overflow diag
+                so the driver can grow exchange_capacity and re-jit."""
                 from ..ops.pallas.rebin_kernels import append_incoming, extract_movers
 
                 p1, movers, wm, dropped_a = extract_movers(
@@ -270,12 +285,13 @@ def build_sharded_step(deck: Deck, mesh: Mesh):
     in_specs = (fspec, (pspec,) * n_sp, P())
     out_specs = (fspec, (pspec,) * n_sp, StepDiag(P(), P(), P(), P()))
 
-    # check_vma=False: the varying-axis *checker* trips on unvarying loop
-    # indices inside Pallas interpret-mode lowering (dynamic_slice mixing);
-    # semantics are unaffected -- collectives are explicit in this code.
+    # check_vma only off under interpret mode: the varying-axis *checker*
+    # trips on unvarying loop indices inside Pallas interpret-mode lowering
+    # (dynamic_slice mixing); semantics are unaffected — collectives are
+    # explicit in this code.  On the compiled TPU path the checker stays on.
     smapped = jax.shard_map(
         local_step, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-        check_vma=False,
+        check_vma=not interpret,
     )
 
     def step(state: SimState):
