@@ -7,10 +7,12 @@ The reference has no CLI — configuration is edit-and-recompile
     python -m minipic_tpu.cli --deck reference_pulse --out Simulation/Fields
     python -m minipic_tpu.cli --deck two_stream --steps 500 --save-every 100
     python -m minipic_tpu.cli --deck load_balance_stress --sharded
+    python -m minipic_tpu.cli plot all --folder Simulation/Fields
 
 Writes reference-schema HDF5 snapshots + params.txt (readable by the
 reference's File_reader.py), a history.json of per-step energies, and a
-final checkpoint.
+final checkpoint.  The ``plot`` subcommand renders the reference's four
+post-processing artifact types from a run folder (diag/plots.py).
 """
 from __future__ import annotations
 
@@ -42,6 +44,13 @@ def wipe_run_artifacts(out: str) -> int:
 
 
 def main(argv=None):
+    if argv is None:
+        argv = sys.argv[1:]
+    if argv and argv[0] == "plot":
+        # post-processing subcommand (reference File_reader.py __main__ flow)
+        from .diag.plots import cli_main as plot_main
+
+        return plot_main(argv[1:])
     ap = argparse.ArgumentParser(prog="minipic_tpu", description=__doc__)
     ap.add_argument("--deck", default="reference_pulse", help="named deck (decks/standard.py)")
     ap.add_argument("--out", default="Simulation/Fields", help="output folder")
