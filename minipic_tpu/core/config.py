@@ -111,15 +111,44 @@ class Deck:
     # re-binning; None -> capacity // 8 (rounded to a lane multiple).
     mover_capacity: Optional[int] = None
 
+    def expected_mover_fraction(self) -> float:
+        """Fraction of a tile's particles expected to cross a tile boundary
+        between re-bins, from the deck's own kinematics: per step a particle
+        drifts |v| dt/dx cells, so over `rebin_interval` steps the escaping
+        band is rebin*vx_bar*dt/dx cells of the tile_nx-wide tile (same in
+        y).  v_bar per axis = |drift| + sqrt(2/pi) uth (half-normal mean),
+        clamped to c.  Max over species (buffers are per-species but share
+        one size)."""
+        frac = 0.0
+        for s in self.species:
+            tx, ty, _ = s.thermal_spread()
+            vx = min(1.0, abs(s.ux) + 0.7979 * tx)
+            vy = min(1.0, abs(s.uy) + 0.7979 * ty)
+            f = self.rebin_interval * self.dt * (
+                vx / (self.dx * self.tile_nx) + vy / (self.dy * self.tile_ny)
+            )
+            frac = max(frac, f)
+        return frac
+
     def mover_cap(self, capacity: int) -> int:
-        if self.mover_capacity is not None:
-            return self.mover_capacity
-        # a lane multiple, comfortably above the expected mover fraction;
-        # the append slab needs 256 lanes of slack below the bucket size.
-        # Returns 0 when the bucket is too small for the incremental path.
-        base = max(512, -(-capacity // 8 // 128) * 128)
+        """Outgoing/incoming mover buffer slots per tile.  Auto mode derives
+        the size from the deck's expected mover fraction (x4 safety for
+        bursts and local crowding) instead of a hand-tuned knob; an
+        underestimate is lossless — rebin_auto falls back to the full
+        defragmenting sort — so the safety factor trades only performance.
+        Returns 0 when the bucket is too small for the incremental path."""
         room = ((capacity - 256) // 128) * 128
-        return min(base, room) if room >= 128 else 0
+        if room < 128:
+            return 0
+        if self.mover_capacity is not None:
+            return min(self.mover_capacity, room)
+        derived = 4.0 * self.expected_mover_fraction() * capacity
+        base = min(
+            max(512, -(-int(derived) // 128) * 128),
+            # never bigger than the old capacity//8 heuristic's ceiling
+            max(512, -(-capacity // 8 // 128) * 128),
+        )
+        return min(base, room)
     # Per-direction cross-shard particle exchange buffer capacity (slots);
     # None -> auto from tile capacity.  Only the shard-boundary tiles feed
     # these, so a fraction of one tile's capacity suffices.

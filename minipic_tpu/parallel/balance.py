@@ -62,9 +62,11 @@ def census(p: ParticleState) -> LoadStats:
     )
 
 
-def with_capacity(p: ParticleState, new_cap: int) -> ParticleState:
-    """Grow (or shrink) bucket capacity.  Shrinking requires the occupied
-    prefix to fit; growth pads with dead slots.  Host-side, outside jit."""
+def with_capacity(p: ParticleState, new_cap: int, tiling=None) -> ParticleState:
+    """Grow or shrink bucket capacity.  Growth pads with dead slots; shrink
+    compacts by re-binning the slot pool into the smaller buckets (requires
+    `tiling`, and every tile's live count must fit — checked, since losing
+    particles to a *shrink* would be absurd).  Host-side, outside jit."""
     cap = p.capacity
     if new_cap == cap:
         return p
@@ -73,14 +75,24 @@ def with_capacity(p: ParticleState, new_cap: int) -> ParticleState:
             return jnp.pad(a, ((0, 0), (0, new_cap - cap)))
 
         return ParticleState(*(grow(a) for a in p))
-    # Shrink: keep live slots, which requires compaction first — re-bin the
-    # buckets into themselves at the smaller capacity.
-    from ..particles.binning import rebin_flat
+    if tiling is None:
+        raise ValueError("shrinking requires the tiling (to re-bin at the new capacity)")
+    from ..particles.binning import rebin_flat, tile_counts
 
-    raise ValueError(
-        "shrinking requires a re-bin at the new capacity; use "
-        "rebin_flat(..., capacity=new_cap) explicitly"
+    max_live = int(tile_counts(p).max())
+    if max_live > new_cap:
+        raise ValueError(f"cannot shrink to {new_cap}: a tile holds {max_live} live particles")
+    flat = jax.tree_util.tree_map(lambda a: a.reshape(p.num_tiles * cap), p)
+    out, ovf = rebin_flat(
+        flat,
+        tile_rows=tiling.tile_rows,
+        tile_cols=tiling.tile_cols,
+        tile_nx=tiling.tile_nx,
+        tile_ny=tiling.tile_ny,
+        capacity=new_cap,
     )
+    assert int(ovf) == 0, "shrink overflow despite census check"
+    return out
 
 
 class CapacityManager:
@@ -92,14 +104,44 @@ class CapacityManager:
     O(log(final/initial)).
     """
 
-    def __init__(self, high_water: float = 0.9, growth: float = 1.5, check_every: int = 50):
+    def __init__(
+        self,
+        high_water: float = 0.9,
+        growth: float = 1.5,
+        check_every: int = 50,
+        low_water: float = 0.35,
+        shrink_patience: int = 4,
+        shrink_headroom: float = 1.4,
+    ):
         self.high_water = high_water
         self.growth = growth
         self.check_every = check_every
+        self.low_water = low_water
+        self.shrink_patience = shrink_patience
+        self.shrink_headroom = shrink_headroom
+        self._calm = 0  # consecutive low-occupancy checks
 
     def plan(self, stats: LoadStats, overflow: int) -> Optional[int]:
-        """Return a new capacity if growth is needed, else None."""
+        """Return a new capacity if a change is warranted, else None.
+
+        Growth fires immediately on overflow or high occupancy.  Shrink
+        (closing the capacity lifecycle: a transient hot spot must not
+        inflate every tile's dense compute forever) waits out
+        `shrink_patience` consecutive calm checks, then resizes to the
+        observed peak plus headroom — hysteresis between low_water and
+        1/shrink_headroom prevents flapping."""
         if overflow > 0 or stats.occupancy >= self.high_water:
+            self._calm = 0
             need = max(stats.max_tile + overflow, int(stats.capacity * self.growth))
             return -(-need // 8) * 8
+        if stats.occupancy < self.low_water:
+            self._calm += 1
+            if self._calm >= self.shrink_patience:
+                self._calm = 0
+                want = max(8, int(stats.max_tile * self.shrink_headroom))
+                want = -(-want // 8) * 8
+                if want < stats.capacity:
+                    return want
+        else:
+            self._calm = 0
         return None

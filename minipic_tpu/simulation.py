@@ -317,6 +317,7 @@ class Simulation:
             fields = FieldState.zeros(deck.ny, deck.nx, deck.dtype)
         self.state = SimState(fields=fields, species=tuple(species), step=jnp.zeros((), jnp.int32))
         self._step = jax.jit(build_step(deck))
+        self._capmgrs = None  # per-species CapacityManagers, lazily built
 
     def step(self, n: int = 1) -> StepDiag:
         diag = None
@@ -325,25 +326,33 @@ class Simulation:
         return diag
 
     def ensure_capacity(self, overflow: int = 0) -> bool:
-        """Grow particle buckets when overflow/occupancy demands it (the
-        adaptive-capacity half of the load-balance story, parallel/balance).
-        Returns True if capacity changed (step function was re-jitted)."""
+        """Adapt particle bucket capacity to the load (the adaptive-capacity
+        half of the load-balance story, parallel/balance): grow on overflow
+        or high occupancy, shrink back after a sustained calm spell so a
+        transient hot spot does not inflate every tile's dense compute for
+        the rest of the run.  Returns True if capacity changed (the jitted
+        step retraces on the new shapes; geometric growth + shrink
+        hysteresis bound the number of recompiles over a run)."""
         from .parallel.balance import CapacityManager, census, with_capacity
 
-        mgr = CapacityManager()
-        grew = False
+        if self._capmgrs is None:
+            self._capmgrs = [CapacityManager() for _ in self.state.species]
+        changed = False
         species = list(self.state.species)
-        for i, p in enumerate(species):
+        for i, (p, mgr) in enumerate(zip(species, self._capmgrs)):
             new_cap = mgr.plan(census(p), overflow)
-            if new_cap is not None and new_cap > p.capacity:
-                cap = -(-new_cap // self.deck.kchunk) * self.deck.kchunk
+            if new_cap is None:
+                continue
+            cap = -(-new_cap // self.deck.kchunk) * self.deck.kchunk
+            if cap > p.capacity:
                 species[i] = with_capacity(p, cap)
-                grew = True
-        if grew:
-            # jit retraces automatically on the new shapes; geometric growth
-            # bounds the number of recompiles over a run.
+                changed = True
+            elif cap < p.capacity:
+                species[i] = with_capacity(p, cap, self.deck.tiling)
+                changed = True
+        if changed:
             self.state = self.state._replace(species=tuple(species))
-        return grew
+        return changed
 
     def run(self, n_steps: Optional[int] = None, save_every: Optional[int] = None, saver=None):
         """Run the deck; call `saver(state, step)` on the save cadence
@@ -353,10 +362,11 @@ class Simulation:
         if saver is not None:
             saver(self.state, 0)
         diag = None
+        check_every = 50  # CapacityManager cadence (census syncs the device)
         for i in range(1, n_steps + 1):
             self.state, diag = self._step(self.state)
             ovf = int(diag.overflow)
-            if ovf > 0:
+            if ovf > 0 or i % check_every == 0:
                 self.ensure_capacity(ovf)
             if saver is not None and i % save_every == 0:
                 saver(self.state, i)
