@@ -70,6 +70,11 @@ def main(argv=None):
     ap.add_argument("--list", action="store_true", help="list available decks")
     ap.add_argument("--no-save", action="store_true", help="skip HDF5 snapshots")
     ap.add_argument(
+        "--save-particles", action="store_true",
+        help="also snapshot particles (live-compacted x/y/p/w per species) "
+        "on the save cadence — restartable via io.checkpoint.particles_from_snapshot",
+    )
+    ap.add_argument(
         "--keep-existing", action="store_true",
         help="do NOT wipe stale run artifacts from --out first (the default "
         "mirrors the reference's delete-and-recreate folder lifecycle, "
@@ -148,6 +153,8 @@ def main(argv=None):
         except Exception:
             writer = None
 
+    species_names = [s.name for s in deck.species]
+
     def save(step):
         if args.no_save:
             return
@@ -155,6 +162,13 @@ def main(argv=None):
             writer.submit(sim.state.fields, step)
         else:
             save_fields(sim.state.fields, deck.tiling, deck.guard, step, args.out, ranks=args.ranks)
+        if args.save_particles and species_names:
+            if writer is not None:
+                writer.submit_particles(sim.state.species, species_names, step)
+            else:
+                from .io.hdf5 import save_particles
+
+                save_particles(sim.state.species, species_names, step, args.out)
 
     save(0)
     print(f"deck={args.deck} grid={deck.ny}x{deck.nx} dt={deck.dt:.6g} steps={n_steps}", flush=True)

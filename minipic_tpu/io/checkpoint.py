@@ -41,6 +41,48 @@ def load_checkpoint(path: str) -> SimState:
     return SimState(fields=fields, species=species, step=jnp.asarray(z["step"]))
 
 
+def particles_from_snapshot(step: int, folder: str, deck: Deck) -> Tuple[ParticleState, ...]:
+    """Rebuild tile-bucketed ParticleStates from a particle snapshot
+    (io/hdf5.save_particles / the native writer's submit_particles): pad the
+    live-compacted arrays into a flat slot pool and re-bin into the deck's
+    tile buckets.  Capacity = the deck's (grown if a tile would overflow, so
+    the restart is lossless)."""
+    from .hdf5 import load_particles
+    from ..particles.binning import rebin_flat
+
+    data = load_particles(step, folder)
+    tiling = deck.tiling
+    out = []
+    for spec in deck.species:
+        d = data[spec.name]
+        n = len(d["x"])
+        # capacity: at least the deck's nominal, grown to fit the densest tile
+        col = np.floor(d["x"] / tiling.tile_nx).astype(np.int64)
+        row = np.floor(d["y"] / tiling.tile_ny).astype(np.int64)
+        tid = row * tiling.tile_cols + col
+        dens = int(np.bincount(tid, minlength=tiling.num_tiles).max()) if n else 0
+        cap = max(deck.capacity(), -(-dens // deck.kchunk) * deck.kchunk)
+        pool = tiling.num_tiles * cap
+        flat = ParticleState(
+            *(
+                jnp.asarray(np.pad(d[k].astype(np.float64), (0, pool - n)), deck.dtype)
+                for k in ("x", "y", "px", "py", "pz", "w")
+            )
+        )
+        p, ovf = rebin_flat(
+            flat,
+            tile_rows=tiling.tile_rows,
+            tile_cols=tiling.tile_cols,
+            tile_nx=tiling.tile_nx,
+            tile_ny=tiling.tile_ny,
+            capacity=cap,
+        )
+        if int(ovf) != 0:
+            raise ValueError(f"particle restart overflow for species {spec.name}")
+        out.append(p)
+    return tuple(out)
+
+
 def fields_from_snapshot(step: int, folder: str, deck: Deck) -> FieldState:
     """Rebuild a FieldState from a reference-schema HDF5 snapshot (what the
     reference itself could never do — SURVEY.md §5 checkpoint/resume)."""

@@ -134,6 +134,46 @@ def load_field(
     return out
 
 
+def save_particles(species_states, species_names, step: int, folder: str) -> str:
+    """Synchronous particle snapshot (schema shared with the native writer's
+    submit_particles): file ``particles_rank_0_step_{s}.h5``, one group per
+    species holding live-compacted 1-D f8 datasets x,y,px,py,pz,w and an
+    int ``count`` attr.  The reference never wrote particles (fields-only,
+    SURVEY.md §0); this extends its per-rank snapshot convention to the
+    PIC-completed state."""
+    import h5py
+
+    os.makedirs(folder, exist_ok=True)
+    path = os.path.join(folder, f"particles_rank_0_step_{step}.h5")
+    with h5py.File(path, "w") as f:
+        for name, p in zip(species_names, species_states):
+            w = np.asarray(p.w, np.float64).ravel()
+            live = w > 0
+            grp = f.create_group(name)
+            for comp_name, comp in zip(
+                ("x", "y", "px", "py", "pz", "w"),
+                (p.x, p.y, p.px, p.py, p.pz, p.w),
+            ):
+                grp.create_dataset(
+                    comp_name, data=np.asarray(comp, np.float64).ravel()[live]
+                )
+            grp.attrs.create("count", int(live.sum()), dtype="<i4")
+    return path
+
+
+def load_particles(step: int, folder: str) -> Dict[str, Dict[str, np.ndarray]]:
+    """Read one particle snapshot -> {species: {x, y, px, py, pz, w}}."""
+    import h5py
+
+    path = os.path.join(folder, f"particles_rank_0_step_{step}.h5")
+    out: Dict[str, Dict[str, np.ndarray]] = {}
+    with h5py.File(path, "r") as f:
+        for name, grp in f.items():
+            out[name] = {k: grp[k][:] for k in ("x", "y", "px", "py", "pz", "w")}
+            assert len(out[name]["x"]) == int(grp.attrs["count"])
+    return out
+
+
 def available_steps(folder: str) -> list:
     steps = set()
     for p in glob.glob(os.path.join(folder, "fields_rank_*_step_*.h5")):

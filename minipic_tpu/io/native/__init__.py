@@ -61,6 +61,12 @@ def _build() -> Optional[ctypes.CDLL]:
         np.ctypeslib.ndpointer(np.int32), ctypes.c_int,
         np.ctypeslib.ndpointer(np.float64), ctypes.c_longlong, ctypes.c_longlong,
     ]
+    lib.mpw_submit_particles.argtypes = [
+        ctypes.c_char_p, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_char_p),
+        np.ctypeslib.ndpointer(np.int64),
+        np.ctypeslib.ndpointer(np.float64),
+    ]
     lib.mpw_flush.restype = ctypes.c_int
     lib.mpw_written.restype = ctypes.c_long
     return lib
@@ -135,6 +141,30 @@ class AsyncSnapshotWriter:
             )
             if rc_ != 0:
                 raise RuntimeError("native writer submit failed")
+
+    def submit_particles(self, species_states, species_names, step: int) -> None:
+        """Enqueue a particle snapshot (`particles_rank_0_step_{s}.h5`, one
+        group per species with live-compacted 1-D x/y/px/py/pz/w datasets —
+        schema shared with io.hdf5.save_particles).  Copy + enqueue; returns
+        immediately."""
+        bufs, counts = [], []
+        for p in species_states:
+            w = np.asarray(p.w, np.float64).ravel()
+            live = w > 0
+            counts.append(int(live.sum()))
+            for comp in (p.x, p.y, p.px, p.py, p.pz, p.w):
+                bufs.append(np.asarray(comp, np.float64).ravel()[live])
+        data = np.ascontiguousarray(np.concatenate(bufs) if bufs else np.zeros(0))
+        names = (ctypes.c_char_p * len(species_names))(
+            *(n.encode() for n in species_names)
+        )
+        path = os.path.join(self.folder, f"particles_rank_0_step_{step}.h5")
+        rc_ = self.lib.mpw_submit_particles(
+            path.encode(), len(species_names), names,
+            np.asarray(counts, np.int64), data,
+        )
+        if rc_ != 0:
+            raise RuntimeError("native writer particle submit failed")
 
     def flush(self) -> int:
         """Wait for the queue to drain; returns the number of failed files."""

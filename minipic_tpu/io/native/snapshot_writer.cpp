@@ -71,11 +71,17 @@ static const int H5T_COMPOUND_ = 6;  // H5T_class_t
 
 // ------------------------------------------------------------------ jobs
 struct Job {
+  int kind = 0;  // 0 = field snapshot, 1 = particle snapshot
   std::string path;
+  // kind 0 (fields): one group per tile, compound dataset
   std::vector<int> gids, rows, cols;
-  int rank;
-  std::vector<double> data;  // [n_tiles][ny][nx][6]
-  long long ny, nx;
+  int rank = 0;
+  std::vector<double> data;  // fields: [n_tiles][ny][nx][6];
+                             // particles: per species 6 arrays of count
+  long long ny = 0, nx = 0;
+  // kind 1 (particles): one group per species, 6 flat double datasets
+  std::vector<std::string> species;
+  std::vector<long long> counts;
 };
 
 static std::deque<Job> g_queue;
@@ -129,6 +135,44 @@ static int write_file(const Job &j) {
   return bad ? -1 : 0;
 }
 
+// Particle snapshot: /{species}/x..w 1-D double datasets of the live
+// particles only, plus an int `count` attr per group.  No reference schema
+// exists (the reference never wrote particles); this is the native-runtime
+// analogue of its per-rank field files.
+static int write_particle_file(const Job &j) {
+  hid_t file = H5Fcreate(j.path.c_str(), H5F_ACC_TRUNC_, H5P_DEFAULT_, H5P_DEFAULT_);
+  if (file < 0) return -1;
+  int bad = 0;
+  const char *comps[6] = {"x", "y", "px", "py", "pz", "w"};
+  size_t off = 0;
+  for (size_t s = 0; s < j.species.size(); ++s) {
+    hid_t grp = H5Gcreate2(file, j.species[s].c_str(), H5P_DEFAULT_, H5P_DEFAULT_, H5P_DEFAULT_);
+    if (grp < 0) { bad++; off += (size_t)j.counts[s] * 6; continue; }
+    hsize_t dims[1] = {(hsize_t)j.counts[s]};
+    for (int c = 0; c < 6; ++c) {
+      hid_t space = H5Screate_simple(1, dims, nullptr);
+      hid_t dset = H5Dcreate2(grp, comps[c], H5T_NATIVE_DOUBLE_g, space,
+                              H5P_DEFAULT_, H5P_DEFAULT_, H5P_DEFAULT_);
+      if (dset < 0 ||
+          H5Dwrite(dset, H5T_NATIVE_DOUBLE_g, H5P_DEFAULT_, H5P_DEFAULT_,
+                   H5P_DEFAULT_, j.data.data() + off) < 0)
+        bad++;
+      if (dset >= 0) H5Dclose(dset);
+      H5Sclose(space);
+      off += (size_t)j.counts[s];
+    }
+    int cnt = (int)j.counts[s];
+    hid_t aspace = H5Screate(H5S_SCALAR_);
+    hid_t attr = H5Acreate2(grp, "count", H5T_NATIVE_INT_g, aspace, H5P_DEFAULT_, H5P_DEFAULT_);
+    if (attr < 0 || H5Awrite(attr, H5T_NATIVE_INT_g, &cnt) < 0) bad++;
+    if (attr >= 0) H5Aclose(attr);
+    H5Sclose(aspace);
+    H5Gclose(grp);
+  }
+  H5Fclose(file);
+  return bad ? -1 : 0;
+}
+
 static void worker() {
   for (;;) {
     Job j;
@@ -142,7 +186,7 @@ static void worker() {
       j = std::move(g_queue.front());
       g_queue.pop_front();
     }
-    if (write_file(j) == 0)
+    if ((j.kind == 1 ? write_particle_file(j) : write_file(j)) == 0)
       g_written++;
     else
       g_errors++;
@@ -182,6 +226,28 @@ int mpw_submit(const char *path, int n_tiles, const int *gids, const int *rows,
   j.ny = tile_ny_g;
   j.nx = tile_nx_g;
   j.data.assign(data, data + (size_t)n_tiles * tile_ny_g * tile_nx_g * 6);
+  {
+    std::lock_guard<std::mutex> lk(g_mu);
+    g_queue.push_back(std::move(j));
+    g_inflight++;
+  }
+  g_cv.notify_one();
+  return 0;
+}
+
+int mpw_submit_particles(const char *path, int n_species, const char **names,
+                         const long long *counts, const double *data) {
+  if (g_threads.empty()) return -1;
+  Job j;
+  j.kind = 1;
+  j.path = path;
+  size_t total = 0;
+  for (int s = 0; s < n_species; ++s) {
+    j.species.emplace_back(names[s]);
+    j.counts.push_back(counts[s]);
+    total += (size_t)counts[s] * 6;
+  }
+  j.data.assign(data, data + total);
   {
     std::lock_guard<std::mutex> lk(g_mu);
     g_queue.push_back(std::move(j));

@@ -29,6 +29,7 @@ def main():
     ap.add_argument("--u0", type=float, default=0.2)
     ap.add_argument("--dt-factor", type=float, default=None)
     ap.add_argument("--guard", type=int, default=None)
+    ap.add_argument("--headroom", type=float, default=3.0)
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
 
@@ -55,7 +56,8 @@ def main():
         dataclasses.replace(s, uth=args.uth, shape_order=args.order)
         for s in deck.species
     )
-    over = dict(species=sp, precision=args.precision, gather_precision=args.gather)
+    over = dict(species=sp, precision=args.precision, gather_precision=args.gather,
+                capacity_headroom=args.headroom)
     if args.guard is not None:
         over["guard"] = args.guard
     if args.dt_factor is not None:
@@ -74,13 +76,15 @@ def main():
         return jnp.float64(fe), jnp.float64(ke)
 
     def chunked(state, _):
-        def body(s, _):
-            s2, _d = step(s)
-            return s2, ()
+        def body(s, ov):
+            s2, d = step(s)
+            return s2, ov + d.overflow
 
-        state, _ = jax.lax.scan(body, state, None, length=args.chunk)
+        state, ovs = jax.lax.scan(
+            body, state, jnp.zeros((args.chunk,), jnp.int32), length=args.chunk
+        )
         fe, ke = energies(state)
-        return state, (fe, ke)
+        return state, (fe, ke, ovs.sum())
 
     @jax.jit
     def run(state):
@@ -88,7 +92,8 @@ def main():
 
     fe0, ke0 = (float(x) for x in energies(sim.state))
     t0 = time.time()
-    state, (fes, kes) = run(sim.state)
+    state, (fes, kes, ovfs) = run(sim.state)
+    total_overflow = int(np.asarray(ovfs).sum())
     tot = np.asarray(fes, np.float64) + np.asarray(kes, np.float64)
     wall = time.time() - t0
 
@@ -104,6 +109,7 @@ def main():
         "end_drift": float(drift[-1]),
         "field_frac_end": float(fes[-1] / tot[-1]),
         "wall_s": round(wall, 1),
+        "overflow": total_overflow,
         "pass": bool(drift.max() < 1e-3),
     }
     print(json.dumps(out))
