@@ -37,9 +37,10 @@ def build(n_particles: int, grid: int, rebin_interval: int):
         precision="f32",
         rebin_interval=rebin_interval,
         capacity_headroom=float(os.environ.get("BENCH_HEADROOM", 1.1)),
-        # movers are ~2% of slots at uth=0.05/8 steps; 4096 covers 2x bursts
-        # and halves the mover-sort + extraction buffers vs the cap//8 default
-        mover_capacity=int(os.environ.get("BENCH_MOVER_CAP", 4096)),
+        # mover buffers auto-size from the deck's kinematics (drift+thermal
+        # tile-crossing rate, core/config.mover_cap); env knob for experiments
+        mover_capacity=(int(os.environ["BENCH_MOVER_CAP"])
+                        if "BENCH_MOVER_CAP" in os.environ else None),
         kchunk=4096,  # larger chunks amortize Pallas grid-step overhead (measured)
     )
     sim = Simulation(deck)

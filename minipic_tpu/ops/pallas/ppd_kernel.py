@@ -174,18 +174,34 @@ def _kernel(
         dsy = s1y - sy_i
         qw = q * w_ref[0, 0]  # [1, KC]
 
-        ax = _prefix_sum_sublanes(dsx, nxg)  # prefix along the grid axis
+        if nxg == nyg:  # square tiles: one prefix matmul serves both axes
+            axy = _prefix_sum_sublanes(jnp.concatenate([dsx, dsy], axis=1), nxg)
+            ax, ay = axy[:, :kc], axy[:, kc:]
+        else:
+            ax = _prefix_sum_sublanes(dsx, nxg)  # prefix along the grid axis
+            ay = _prefix_sum_sublanes(dsy, nyg)
         by1 = (sy_i + 0.5 * dsy) * (qw * (-1.0 / (dt * dy)))
-        jx_ref[0] += _dot_ss(by1, ax)
-
-        ay = _prefix_sum_sublanes(dsy, nyg)
         bx1 = sx_i + 0.5 * dsx
-        jy_ref[0] += _dot_ss(ay * (qw * (-1.0 / (dt * dx))), bx1)
-
         vz = pzn * gn
         cz = qw * vz * (1.0 / (dx * dy))
-        jz_ref[0] += _dot_ss(sy_i * cz, bx1) + _dot_ss(
-            dsy * cz, 0.5 * sx_i + (1.0 / 3.0) * dsx
+
+        # ONE stacked deposition dot instead of four: each [nyg,KC]x[nxg,KC]
+        # rank-reduction uses ~(24/128)^2 of the MXU; stacking the four
+        # left operands on M and the three distinct right operands on N
+        # computes all of them in a single [4*nyg, 3*nxg] pass (the unused
+        # off-diagonal blocks ride the systolic array's padding for free).
+        lhs = jnp.concatenate(
+            [by1, ay * (qw * (-1.0 / (dt * dx))), sy_i * cz, dsy * cz], axis=0
+        )  # [4*nyg, KC]
+        rhs = jnp.concatenate(
+            [ax, bx1, 0.5 * sx_i + (1.0 / 3.0) * dsx], axis=0
+        )  # [3*nxg, KC]
+        dep = _dot_ss(lhs, rhs)  # [4*nyg, 3*nxg]
+        jx_ref[0] += dep[0:nyg, 0:nxg]
+        jy_ref[0] += dep[nyg : 2 * nyg, nxg : 2 * nxg]
+        jz_ref[0] += (
+            dep[2 * nyg : 3 * nyg, nxg : 2 * nxg]
+            + dep[3 * nyg : 4 * nyg, 2 * nxg : 3 * nxg]
         )
 
     @pl.when(k * kc >= counts_ref[t])

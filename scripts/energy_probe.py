@@ -31,10 +31,15 @@ def main():
     ap.add_argument("--guard", type=int, default=None)
     ap.add_argument("--headroom", type=float, default=3.0)
     ap.add_argument("--json-out", default=None)
+    ap.add_argument("--platform", default=None,
+                    help="force a jax backend, e.g. cpu (f64 crashes the "
+                    "axon TPU worker — emulated-f64 backend bug)")
     args = ap.parse_args()
 
     import jax
 
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     if args.precision == "f64":
         jax.config.update("jax_enable_x64", True)
     # f32 runs keep x64 off (enabling it leaks i64 indices into the jitted
@@ -52,8 +57,13 @@ def main():
 
     case = two_stream(nx=args.nx, ny=args.nx, ppc=args.ppc, u0=args.u0)
     deck = case.deck
+    # Warm only the beams: a thermal spread on the 1836x-mass ion background
+    # would dominate E_total and mask electron-scale drift in the relative
+    # measure.
     sp = tuple(
-        dataclasses.replace(s, uth=args.uth, shape_order=args.order)
+        dataclasses.replace(
+            s, uth=(args.uth if s.mass <= 1.0 else 0.0), shape_order=args.order
+        )
         for s in deck.species
     )
     over = dict(species=sp, precision=args.precision, gather_precision=args.gather,

@@ -87,3 +87,60 @@ def test_track_peak_speed_periodic_wrap():
     ]
     got = track_peak_speed(times, lines, dx, distance=10)
     np.testing.assert_allclose(got, v, atol=5e-4)
+
+
+# ---------------------------------------------------------------- on-device
+
+
+def test_phase_space_hist_counts_and_ranges():
+    import jax
+    import jax.numpy as jnp
+
+    from minipic_tpu.core.state import ParticleState
+    from minipic_tpu.diag.device import phase_space_hist
+
+    z = jnp.zeros((2, 8))
+    x = z.at[0, :3].set(jnp.asarray([1.0, 2.0, 3.0])).at[1, 0].set(9.0)
+    px = z.at[0, :3].set(jnp.asarray([-0.1, 0.0, 0.1])).at[1, 0].set(0.2)
+    w = z.at[0, :3].set(2.0).at[1, 0].set(1.0)
+    p = ParticleState(x=x, y=z, px=px, py=z, pz=z, w=w)
+
+    hist, e0, e1 = jax.jit(
+        lambda pp: phase_space_hist(pp, "x", "px", bins=(4, 4),
+                                    range0=(0.0, 10.0), range1=(-0.2, 0.25))
+    )(p)
+    assert float(hist.sum()) == 7.0  # total weight, dead slots excluded
+    # particle at x=9, px=0.2 -> last x bin, last px bin
+    assert float(hist[3, 3]) == 1.0
+
+
+def test_energy_spectrum_total_weight():
+    import jax.numpy as jnp
+
+    from minipic_tpu.core.state import ParticleState
+    from minipic_tpu.diag.device import energy_spectrum
+
+    z = jnp.zeros((1, 16))
+    px = z.at[0, :4].set(jnp.asarray([0.1, 0.2, 0.3, 0.4]))
+    w = z.at[0, :4].set(1.0)
+    p = ParticleState(x=z, y=z, px=px, py=z, pz=z, w=w)
+    hist, edges = energy_spectrum(p, mass=1.0, bins=8)
+    assert float(hist.sum()) == 4.0
+    assert edges.shape == (9,)
+
+
+def test_charge_density_matches_counts():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from minipic_tpu.core.state import ParticleState
+    from minipic_tpu.diag.device import charge_density
+
+    z = jnp.zeros((1, 8))
+    x = z.at[0, :2].set(jnp.asarray([0.5, 3.7]))
+    y = z.at[0, :2].set(jnp.asarray([1.2, 0.1]))
+    w = z.at[0, :2].set(1.0)
+    p = ParticleState(x=x, y=y, px=z, py=z, pz=z, w=w)
+    rho = charge_density(p, q=-1.0, ny=4, nx=4)
+    assert float(rho.sum()) == -2.0
+    assert float(rho[1, 0]) == -1.0 and float(rho[0, 3]) == -1.0
