@@ -85,7 +85,7 @@ def main():
         return extract_field_tiles(fpad, tiling.tile_rows, tiling.tile_cols,
                                    tiling.tile_ny, tiling.tile_nx, g)
 
-    t_extract = timeit(stage_extract, state.fields)
+    t_extract = timeit(stage_extract, state.fields); print(f"extract       {t_extract*1e3:9.1f} ms", flush=True)
     ftiles = stage_extract(state.fields)
 
     # --- stage: fused advance (gather+push+deposit) ---
@@ -102,7 +102,7 @@ def main():
             gather_precision=deck.gather_precision,
         )
 
-    t_advance = timeit(stage_advance, p, ftiles)
+    t_advance = timeit(stage_advance, p, ftiles); print(f"advance       {t_advance*1e3:9.1f} ms", flush=True)
     pnew, (jx, jy, jz) = stage_advance(p, ftiles)
 
     # --- stage: fold J + yee x3 ---
@@ -117,14 +117,14 @@ def main():
         f = update_e_full_periodic(f, deck.dt, deck.dx, deck.dy, j)
         return update_b_half_periodic(f, deck.dt, deck.dx, deck.dy)
 
-    t_field = timeit(stage_field, state.fields, jx, jy, jz)
+    t_field = timeit(stage_field, state.fields, jx, jy, jz); print(f"field(J+yee)  {t_field*1e3:9.1f} ms", flush=True)
 
     # --- stage: wrap ---
     @jax.jit
     def stage_wrap(pp):
         return wrap_positions(pp, deck.nx, deck.ny, True)
 
-    t_wrap = timeit(stage_wrap, pnew)
+    t_wrap = timeit(stage_wrap, pnew); print(f"wrap          {t_wrap*1e3:9.1f} ms", flush=True)
     pw = stage_wrap(pnew)
     del pnew, jx, jy, jz, ftiles  # free device memory before the sort stages
 
@@ -135,14 +135,14 @@ def main():
     def stage_rebin(pp):
         return rebin_auto(pp, tiling, mc, interpret=interpret)
 
-    t_rebin = timeit(stage_rebin, pw)
+    t_rebin = timeit(stage_rebin, pw); print(f"rebin_auto    {t_rebin*1e3:9.1f} ms", flush=True)
 
     # --- stage: full sort rebin (for comparison) ---
     @jax.jit
     def stage_sort(pp):
         return rebin(pp, tiling)
 
-    t_sort = timeit(stage_sort, pw)
+    t_sort = timeit(stage_sort, pw); print(f"rebin_sort    {t_sort*1e3:9.1f} ms", flush=True)
 
     # --- stage: diagnostics (kinetic + momentum) ---
     from minipic_tpu.core.state import kinetic_energy, momentum_sum
@@ -151,7 +151,7 @@ def main():
     def stage_diag(pp):
         return kinetic_energy(pp, 1.0), momentum_sum(pp, 1.0)
 
-    t_diag = timeit(stage_diag, pw)
+    t_diag = timeit(stage_diag, pw); print(f"diag          {t_diag*1e3:9.1f} ms", flush=True)
 
     del p, pw  # free before the whole-step scan
 
@@ -166,25 +166,18 @@ def main():
         out, _ = jax.lax.scan(body, s, None, length=n)
         return out
 
-    import functools
-    multi_n = jax.jit(functools.partial(multi, n=args.steps))
-    sync(multi_n(state))
+    multi_n = jax.jit(multi, static_argnums=1)
+    sync(multi_n(state, args.steps))
     t0 = time.perf_counter()
-    out = multi_n(state)
+    out = multi_n(state, args.steps)
     sync(out)
     t_step = (time.perf_counter() - t0) / args.steps
 
     amort = t_rebin / args.rebin
     budget = t_extract + t_advance + t_field + t_wrap + amort + t_diag
-    print(f"extract       {t_extract*1e3:9.1f} ms")
-    print(f"advance       {t_advance*1e3:9.1f} ms")
-    print(f"field(J+yee)  {t_field*1e3:9.1f} ms")
-    print(f"wrap          {t_wrap*1e3:9.1f} ms")
-    print(f"rebin_auto    {t_rebin*1e3:9.1f} ms  (/{args.rebin} = {amort*1e3:.1f} ms amortized)")
-    print(f"rebin_sort    {t_sort*1e3:9.1f} ms  (full defrag, for reference)")
-    print(f"diag          {t_diag*1e3:9.1f} ms")
+    print(f"rebin amortized /{args.rebin} = {amort*1e3:.1f} ms")
     print(f"SUM (budget)  {budget*1e3:9.1f} ms")
-    print(f"STEP (scan)   {t_step*1e3:9.1f} ms   -> {n_live/t_step:.3e} pushes/s")
+    print(f"STEP (scan)   {t_step*1e3:9.1f} ms   -> {n_live/t_step:.3e} pushes/s", flush=True)
 
 
 if __name__ == "__main__":
