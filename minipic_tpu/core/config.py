@@ -94,6 +94,14 @@ class Deck:
     # Re-bin particles into tiles every this many steps (guard cells bound
     # the allowed drift in between; see particles/binning.py).
     rebin_interval: int = 1
+    # When to re-bin: "drift" re-bins only when the *measured* accumulated
+    # particle drift (tracked on device each step) approaches the guard
+    # slack — typically 5-20x less often than the light-speed-bound
+    # interval schedule for thermal plasmas, at identical correctness
+    # (the guard invariant is enforced against actual motion, not the
+    # worst case).  "interval" is the fixed every-rebin_interval-steps
+    # schedule; "auto" = drift.
+    rebin_trigger: str = "auto"
     # Chunk of particle slots processed per inner deposition/gather block
     # (bounds the size of the dense shape-matrix intermediates).
     kchunk: int = 256
@@ -111,14 +119,58 @@ class Deck:
     # re-binning; None -> capacity // 8 (rounded to a lane multiple).
     mover_capacity: Optional[int] = None
 
+    def shape_reach(self) -> float:
+        """Half-width of the widest species' deposition support in cells
+        (+<=1 cell of motion is accounted separately)."""
+        max_order = max((s.shape_order for s in self.species), default=1)
+        return 1.0 if max_order == 1 else 1.5
+
+    def drift_threshold(self) -> float:
+        """Drift-triggered re-bin threshold (cells): re-bin once measured
+        accumulated drift exceeds this, so that even a light-speed next
+        step keeps every particle's full shape support inside its stale
+        tile's guard band."""
+        cfl_step = self.dt / min(self.dx, self.dy)  # per-step bound (< 1)
+        return self.guard - self.shape_reach() - cfl_step
+
+    def uses_drift_trigger(self) -> bool:
+        return self.rebin_trigger in ("drift", "auto")
+
     def expected_mover_fraction(self) -> float:
         """Fraction of a tile's particles expected to cross a tile boundary
-        between re-bins, from the deck's own kinematics: per step a particle
-        drifts |v| dt/dx cells, so over `rebin_interval` steps the escaping
-        band is rebin*vx_bar*dt/dx cells of the tile_nx-wide tile (same in
-        y).  v_bar per axis = |drift| + sqrt(2/pi) uth (half-normal mean),
-        clamped to c.  Max over species (buffers are per-species but share
-        one size)."""
+        between re-bins.
+
+        interval trigger: from the deck's own kinematics — per step a
+        particle drifts |v| dt/dx cells, so over `rebin_interval` steps the
+        escaping band is rebin*vx_bar*dt/dx cells of the tile_nx-wide tile
+        (same in y).  v_bar per axis = |drift| + sqrt(2/pi) uth (half-
+        normal mean), clamped to c.  Max over species (buffers are
+        per-species but share one size).
+
+        drift trigger: the trigger fires when the *fastest* particle's
+        accumulated drift hits the threshold, but the escaping band is set
+        by the *bulk* drift by then — threshold x (v_bulk / v_max), with
+        v_max ~ |u| + 6 uth (the ~1e8-sample Gaussian extreme).  The hard
+        bound (no particle beyond threshold+1 cells) caps it; mover-buffer
+        overflow beyond the expectation falls back losslessly."""
+        if self.uses_drift_trigger():
+            band = self.drift_threshold() + self.dt / min(self.dx, self.dy)
+            vmax = 0.0
+            for s in self.species:
+                tx, ty, _ = s.thermal_spread()
+                vmax = max(vmax, min(1.0, abs(s.ux) + 6.0 * tx),
+                           min(1.0, abs(s.uy) + 6.0 * ty))
+            frac = 0.0
+            for s in self.species:
+                tx, ty, _ = s.thermal_spread()
+                vxm = min(1.0, abs(s.ux) + 0.7979 * tx)
+                vym = min(1.0, abs(s.uy) + 0.7979 * ty)
+                ratio_x = vxm / vmax if vmax > 0 else 0.0
+                ratio_y = vym / vmax if vmax > 0 else 0.0
+                f = band * (min(1.0, ratio_x) / self.tile_nx
+                            + min(1.0, ratio_y) / self.tile_ny)
+                frac = max(frac, f)
+            return frac
         frac = 0.0
         for s in self.species:
             tx, ty, _ = s.thermal_spread()
@@ -142,13 +194,25 @@ class Deck:
             return 0
         if self.mover_capacity is not None:
             return min(self.mover_capacity, room)
-        derived = 4.0 * self.expected_mover_fraction() * capacity
+        # Crowding safety over the expected-band estimates (underestimates
+        # fall back losslessly to the full sort, so this trades only time).
+        safety = 2.0 if self.uses_drift_trigger() else 4.0
+        derived = safety * self.expected_mover_fraction() * capacity
         base = min(
             max(512, -(-int(derived) // 128) * 128),
             # never bigger than the old capacity//8 heuristic's ceiling
             max(512, -(-capacity // 8 // 128) * 128),
         )
         return min(base, room)
+
+    def prefers_incremental(self) -> bool:
+        """Whether the incremental (movers-only) re-bin path can actually
+        absorb a re-bin's inflow, or the full defragmenting sort is the
+        better plan.  The append stage needs wm + 2*n_in <= capacity, i.e.
+        roughly 2*mover_fraction <= headroom - 1; when the expected inflow
+        exceeds that, the incremental attempt would fall back to the full
+        sort every time (lossless but ~2x slower than sorting directly)."""
+        return 2.0 * self.expected_mover_fraction() <= self.capacity_headroom - 1.0
     # Per-direction cross-shard particle exchange buffer capacity (slots);
     # None -> auto from tile capacity.  Only the shard-boundary tiles feed
     # these, so a fraction of one tile's capacity suffices.
@@ -228,12 +292,24 @@ class Deck:
                 )
         if self.dt_factor >= 1.0:
             raise ValueError("dt_factor must be < 1 (CFL)")
-        if self.species and self.rebin_interval > 1:
+        if self.rebin_trigger not in ("auto", "drift", "interval"):
+            raise ValueError(f"unknown rebin_trigger {self.rebin_trigger!r}")
+        if self.species and self.uses_drift_trigger():
+            # Drift-triggered re-binning enforces the guard invariant
+            # against *measured* motion; the deck only needs room for one
+            # worst-case step beyond the threshold.
+            if self.drift_threshold() <= 0:
+                raise ValueError(
+                    f"guard={self.guard} leaves no drift budget for "
+                    f"shape reach {self.shape_reach()} + one CFL step — "
+                    "increase guard or use rebin_trigger='interval' with "
+                    "rebin_interval=1"
+                )
+        elif self.species and self.rebin_interval > 1:
             # Between re-binning passes a particle may drift from its stale
             # tile; its full shape support must stay inside the guard band.
             max_drift = self.rebin_interval * self.dt / min(self.dx, self.dy)
-            max_order = max(s.shape_order for s in self.species)
-            slack = self.guard - 1 if max_order == 1 else self.guard - 1.5
+            slack = self.guard - self.shape_reach()
             if max_drift > slack:
                 raise ValueError(
                     f"rebin_interval={self.rebin_interval} allows {max_drift:.2f} "

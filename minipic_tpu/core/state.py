@@ -111,6 +111,11 @@ class SimState(NamedTuple):
     fields: FieldState
     species: tuple  # tuple[ParticleState, ...]
     step: jax.Array  # scalar int32
+    # Cells of particle drift accumulated since the last re-binning pass
+    # (measured on device from the actual pushes, see simulation.max_step_
+    # displacement).  Drives the drift-triggered re-bin; None on states
+    # built by pre-drift code paths (treated as "re-bin immediately").
+    drift: Optional[jax.Array] = None
 
 
 def field_energy(f: FieldState, dx: float, dy: float):

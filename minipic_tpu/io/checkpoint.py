@@ -28,6 +28,8 @@ def save_checkpoint(path: str, state: SimState) -> None:
             arrays[f"sp{i}_{n}"] = np.asarray(getattr(sp, n))
     arrays["step"] = np.asarray(state.step)
     arrays["n_species"] = np.asarray(len(state.species))
+    if state.drift is not None:
+        arrays["drift"] = np.asarray(state.drift)
     np.savez(path, **arrays)
 
 
@@ -38,7 +40,13 @@ def load_checkpoint(path: str) -> SimState:
         ParticleState(*(jnp.asarray(z[f"sp{i}_{n}"]) for n in ParticleState._fields))
         for i in range(int(z["n_species"]))
     )
-    return SimState(fields=fields, species=species, step=jnp.asarray(z["step"]))
+    # Pre-drift checkpoints: 1e9 cells forces a re-bin on the first
+    # drift-triggered step (always safe — the buckets were just sorted if
+    # the writer re-binned, and a redundant sort only costs time).
+    drift = jnp.asarray(z["drift"]) if "drift" in z else jnp.float32(1e9)
+    return SimState(
+        fields=fields, species=species, step=jnp.asarray(z["step"]), drift=drift
+    )
 
 
 def particles_from_snapshot(step: int, folder: str, deck: Deck) -> Tuple[ParticleState, ...]:

@@ -8,10 +8,13 @@ whole per-chunk pipeline in VMEM:
   grid = (num_tiles, capacity // KC), K innermost.
   per step: particle chunk [1, KC] -> transposed shape matrices
   [n+2g, KC] (particles on the lane axis, no relayouts) -> 6-component
-  field gather (MXU dot_generals against the tile's field window) ->
-  Boris rotation (VPU) -> move -> Esirkepov vectors (sublane cumsum) ->
-  4 deposition dot_generals accumulated into the tile's J window
-  (revisited output block, initialized at k == 0).
+  field gather (one block-diagonal MXU dot when 6*nyg <= 128, else two
+  stagger-stacked dots) -> Boris rotation (VPU) -> move (+ optional
+  periodic wrap of the stored positions) -> ONE stacked Esirkepov
+  deposition dot over the RAW shape-difference operands, accumulated into
+  the tile's J window (revisited output block, initialized at k == 0);
+  the grid-axis prefix sums commute with the particle contraction and are
+  applied by the caller on the [T, nyg, nxg] stacks.
 
 HBM traffic per particle: read 6 floats + write 5 — nothing else.  The
 J and field windows stay VMEM-resident across the K loop (Pallas skips
@@ -65,31 +68,22 @@ def _dot_ss(a, b):
     )
 
 
-def _prefix_sum_sublanes(v, n: int):
-    # cumsum along the (small) sublane axis as a lower-triangular matmul —
-    # Mosaic has no cumsum primitive, and at n ~ 22 the MXU does this for
-    # free alongside the deposition dots.
-    row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    ltri = (row >= col).astype(jnp.float32)
-    return jax.lax.dot_general(
-        ltri, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,  # default=bf16 breaks charge conservation
-    )
-
-
 def _kernel(
     counts_ref,  # scalar-prefetch: [T] live count per tile
     ox_ref, oy_ref,  # scalar-prefetch: [T] int32 tile origins (cell units)
-    x_ref, y_ref, px_ref, py_ref, pz_ref, w_ref,  # [1, 1, 1, KC]
-    fhx_ref, fix_ref,  # [1, 3*nyg, nxg] stagger-stacked fields (see below)
-    xo_ref, yo_ref, pxo_ref, pyo_ref, pzo_ref,  # [1, 1, 1, KC]
-    jx_ref, jy_ref, jz_ref,  # [1, nyg, nxg]
-    *,
+    *refs,  # particles(6) + fields(1 fused | 2 split) + outs(5 particles + 3 J)
     nxt: int, nyt: int, g: int, order: int,
     qm: float, q: float, dt: float, dx: float, dy: float, kc: int,
+    fused_gather: bool,
+    wrap: Tuple[int, int] | None,
+    grid: Tuple[int, int] | None,
     gather_prec=jax.lax.Precision.HIGHEST,
 ):
+    nf = 1 if fused_gather else 2
+    x_ref, y_ref, px_ref, py_ref, pz_ref, w_ref = refs[:6]
+    f_refs = refs[6 : 6 + nf]
+    xo_ref, yo_ref, pxo_ref, pyo_ref, pzo_ref = refs[6 + nf : 11 + nf]
+    jx_ref, jy_ref, jz_ref = refs[11 + nf : 14 + nf]
     t = pl.program_id(0)
     k = pl.program_id(1)
 
@@ -116,6 +110,14 @@ def _kernel(
         oy = oy_ref[t].astype(jnp.float32)
         xi = x - ox  # [1, KC] tile-local
         eta = y - oy
+        if grid is not None:
+            # Nearest-image centering around the tile: a particle that
+            # wrapped the periodic box while still bucketed in a boundary
+            # tile sits at xi ~ +-nx; fold it back so its guard-band
+            # offset (and hence its shape window) is correct.
+            gnx, gny = grid
+            xi = xi - gnx * jnp.floor((xi + (gnx - nxt) * 0.5) * (1.0 / gnx))
+            eta = eta - gny * jnp.floor((eta + (gny - nyt) * 0.5) * (1.0 / gny))
         # iota must be integer-typed in Mosaic; cast after.
         cx = jax.lax.broadcasted_iota(jnp.int32, (nxg, 1), 0).astype(jnp.float32) - g
         cy = jax.lax.broadcasted_iota(jnp.int32, (nyg, 1), 0).astype(jnp.float32) - g
@@ -125,11 +127,20 @@ def _kernel(
         sy_i = _shape_vals(eta - cy, order)  # [nyg, KC]
         sy_h = _shape_vals(eta - cy - 0.5, order)
 
-        # One dot per x-stagger class: the 3 components sharing Sx are
-        # stacked on the row axis (M = 3*nyg), tripling MXU row utilization
-        # vs six [nyg, nxg] dots.
-        m_h = _dot_f_s(fhx_ref[0], sx_h, gather_prec)  # [3*nyg, KC]: ex, by, bz
-        m_i = _dot_f_s(fix_ref[0], sx_i, gather_prec)  # [3*nyg, KC]: ey, ez, bx
+        if fused_gather:
+            # Both stagger classes in ONE single-MXU-pass dot: the caller
+            # stacks the six field windows block-diagonally ([6nyg, 2nxg],
+            # fits the 128x128 array when 6nyg <= 128), so one column
+            # stream per particle gathers all six components.
+            rhs = jnp.concatenate([sx_h, sx_i], axis=0)  # [2nxg, KC]
+            m = _dot_f_s(f_refs[0][0], rhs, gather_prec)  # [6nyg, KC]
+            m_h, m_i = m[: 3 * nyg], m[3 * nyg :]
+        else:
+            # One dot per x-stagger class: the 3 components sharing Sx are
+            # stacked on the row axis (M = 3*nyg), tripling MXU row
+            # utilization vs six [nyg, nxg] dots.
+            m_h = _dot_f_s(f_refs[0][0], sx_h, gather_prec)  # [3nyg, KC]: ex, by, bz
+            m_i = _dot_f_s(f_refs[1][0], sx_i, gather_prec)  # [3nyg, KC]: ey, ez, bx
 
         def red(m, lo, sy):  # -> [1, KC]
             return jnp.sum(m[lo : lo + nyg] * sy, axis=0, keepdims=True)
@@ -161,40 +172,49 @@ def _kernel(
         xn = x + pxn * gn * (dt / dx)
         yn = y + pyn * gn * (dt / dy)
 
-        xo_ref[0, 0] = xn
-        yo_ref[0, 0] = yn
+        if wrap is not None:
+            # Fold the periodic boundary into the kernel's position store
+            # (saves a full read+write pass over the particle arrays).  The
+            # f32 mod gotcha (binning.wrap_positions) applies here too.
+            wnx, wny = wrap
+            xw = xn - wnx * jnp.floor(xn * (1.0 / wnx))
+            yw = yn - wny * jnp.floor(yn * (1.0 / wny))
+            xo_ref[0, 0] = jnp.where(xw >= wnx, xw - wnx, xw)
+            yo_ref[0, 0] = jnp.where(yw >= wny, yw - wny, yw)
+        else:
+            xo_ref[0, 0] = xn
+            yo_ref[0, 0] = yn
         pxo_ref[0, 0] = pxn
         pyo_ref[0, 0] = pyn
         pzo_ref[0, 0] = pzn
 
-        # Esirkepov currents
-        s1x = _shape_vals(xn - ox - cx, order)
-        s1y = _shape_vals(yn - oy - cy, order)
+        # Esirkepov currents (from the UNwrapped move relative to the
+        # centered old position, so ds is the true displacement)
+        s1x = _shape_vals(xi + (xn - x) - cx, order)
+        s1y = _shape_vals(eta + (yn - y) - cy, order)
         dsx = s1x - sx_i
         dsy = s1y - sy_i
         qw = q * w_ref[0, 0]  # [1, KC]
 
-        if nxg == nyg:  # square tiles: one prefix matmul serves both axes
-            axy = _prefix_sum_sublanes(jnp.concatenate([dsx, dsy], axis=1), nxg)
-            ax, ay = axy[:, :kc], axy[:, kc:]
-        else:
-            ax = _prefix_sum_sublanes(dsx, nxg)  # prefix along the grid axis
-            ay = _prefix_sum_sublanes(dsy, nyg)
         by1 = (sy_i + 0.5 * dsy) * (qw * (-1.0 / (dt * dy)))
         bx1 = sx_i + 0.5 * dsx
         vz = pzn * gn
         cz = qw * vz * (1.0 / (dx * dy))
 
-        # ONE stacked deposition dot instead of four: each [nyg,KC]x[nxg,KC]
-        # rank-reduction uses ~(24/128)^2 of the MXU; stacking the four
-        # left operands on M and the three distinct right operands on N
-        # computes all of them in a single [4*nyg, 3*nxg] pass (the unused
+        # ONE stacked deposition dot: stacking the four left operands on M
+        # and the three distinct right operands on N computes all four
+        # Esirkepov contractions in a single [4*nyg, 3*nxg] pass (the unused
         # off-diagonal blocks ride the systolic array's padding for free).
+        # Esirkepov's prefix sums along the grid axes COMMUTE with the
+        # particle contraction, so the kernel deposits the raw ds operands
+        # and the caller cumsums the tiny [T, nyg, nxg] stacks instead —
+        # this removed a per-chunk [nxg, nxg] x [nxg, 2KC] prefix matmul
+        # that cost as much MXU time as the gather itself.
         lhs = jnp.concatenate(
-            [by1, ay * (qw * (-1.0 / (dt * dx))), sy_i * cz, dsy * cz], axis=0
+            [by1, dsy * (qw * (-1.0 / (dt * dx))), sy_i * cz, dsy * cz], axis=0
         )  # [4*nyg, KC]
         rhs = jnp.concatenate(
-            [ax, bx1, 0.5 * sx_i + (1.0 / 3.0) * dsx], axis=0
+            [dsx, bx1, 0.5 * sx_i + (1.0 / 3.0) * dsx], axis=0
         )  # [3*nxg, KC]
         dep = _dot_ss(lhs, rhs)  # [4*nyg, 3*nxg]
         jx_ref[0] += dep[0:nyg, 0:nxg]
@@ -225,10 +245,20 @@ def fused_push_deposit(
     dt: float, dx: float, dy: float, kc: int,
     interpret: bool = False,
     gather_precision: str = "exact",
+    wrap: Tuple[int, int] | None = None,
+    grid: Tuple[int, int] | None = None,
     vma_axes=(),
 ):
-    """Returns (pushed ParticleState with unwrapped positions, (jx, jy, jz)
-    tile stacks [T, nyg, nxg]).  Drop-in for the XLA chunk-scan path."""
+    """Returns (pushed ParticleState, (jx, jy, jz) tile stacks
+    [T, nyg, nxg]).  Drop-in for the XLA chunk-scan path.
+
+    wrap: (nx, ny) applies the periodic boundary to the stored positions
+    inside the kernel (the deposit still uses the unwrapped move); None
+    returns unwrapped positions (callers wrap/absorb outside).
+    grid: (nx, ny) enables nearest-image centering of tile-local
+    coordinates (required for periodic runs whenever re-binning is not
+    every-step, or box-wrapped particles in stale boundary buckets would
+    fall outside their shape window)."""
     t_total, cap = p.num_tiles, p.capacity
     if cap % kc:
         raise ValueError(f"capacity {cap} not a multiple of kchunk {kc}")
@@ -236,6 +266,10 @@ def fused_push_deposit(
         raise ValueError("pallas path is float32-only")
     nyg, nxg = tile_ny + 2 * g, tile_nx + 2 * g
     dtype = p.x.dtype
+
+    # Single-pass fused gather when the block-diagonal field stack fits the
+    # 128x128 MXU tile (and nyg keeps the sublane slices 8-aligned).
+    fused_gather = 6 * nyg <= 128 and 2 * nxg <= 128 and nyg % 8 == 0
 
     # NB: under PrefetchScalarGridSpec, index maps receive the scalar-
     # prefetch refs as trailing arguments.  Particle arrays are reshaped to
@@ -245,11 +279,13 @@ def fused_push_deposit(
     pspec = pl.BlockSpec((1, 1, 1, kc), lambda i, k, *_: (i, k, 0, 0), memory_space=pltpu.VMEM)
     fspec = pl.BlockSpec((1, nyg, nxg), lambda i, k, *_: (i, 0, 0), memory_space=pltpu.VMEM)
     f3spec = pl.BlockSpec((1, 3 * nyg, nxg), lambda i, k, *_: (i, 0, 0), memory_space=pltpu.VMEM)
+    fbspec = pl.BlockSpec((1, 6 * nyg, 2 * nxg), lambda i, k, *_: (i, 0, 0), memory_space=pltpu.VMEM)
 
     kernel = functools.partial(
         _kernel,
         nxt=tile_nx, nyt=tile_ny, g=g, order=order,
         qm=qm, q=q, dt=dt, dx=dx, dy=dy, kc=kc,
+        fused_gather=fused_gather, wrap=wrap, grid=grid,
         gather_prec=(
             jax.lax.Precision.DEFAULT
             if gather_precision == "fast"
@@ -260,7 +296,7 @@ def fused_push_deposit(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # counts, ox, oy
         grid=(t_total, cap // kc),
-        in_specs=[pspec] * 6 + [f3spec] * 2,
+        in_specs=[pspec] * 6 + ([fbspec] if fused_gather else [f3spec] * 2),
         out_specs=[pspec] * 5 + [fspec] * 3,
     )
 
@@ -286,6 +322,15 @@ def fused_push_deposit(
     # Stagger-class stacking for the gather dots (see kernel docstring).
     f_hx = jnp.concatenate([ftiles.ex, ftiles.by, ftiles.bz], axis=1)
     f_ix = jnp.concatenate([ftiles.ey, ftiles.ez, ftiles.bx], axis=1)
+    if fused_gather:
+        # Block-diagonal [6nyg, 2nxg] stack: rows 0:3nyg see only the
+        # half-stagger shape columns, rows 3nyg:6nyg only the integer ones.
+        f_blk = jnp.zeros((t_total, 6 * nyg, 2 * nxg), dtype)
+        f_blk = f_blk.at[:, : 3 * nyg, :nxg].set(f_hx)
+        f_blk = f_blk.at[:, 3 * nyg :, nxg:].set(f_ix)
+        f_args = (f_blk,)
+    else:
+        f_args = (f_hx, f_ix)
 
     outs = pl.pallas_call(
         kernel,
@@ -299,8 +344,12 @@ def fused_push_deposit(
         oy.reshape(t_total).astype(jnp.int32),
         chunked(p.x), chunked(p.y), chunked(p.px), chunked(p.py),
         chunked(p.pz), chunked(p.w),
-        f_hx, f_ix,
+        *f_args,
     )
     xn, yn, pxn, pyn, pzn = (a.reshape(t_total, cap) for a in outs[:5])
     jx, jy, jz = outs[5:]
+    # Esirkepov grid-axis prefix sums, deferred out of the kernel (exact
+    # f32 adds over the tiny J stacks; see the deposition comment above).
+    jx = jnp.cumsum(jx, axis=-1)
+    jy = jnp.cumsum(jy, axis=-2)
     return ParticleState(xn, yn, pxn, pyn, pzn, p.w), (jx, jy, jz)

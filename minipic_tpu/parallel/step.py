@@ -70,15 +70,18 @@ def build_sharded_step(deck: Deck, mesh: Mesh):
                 f"only {ny_l}x{nx_l} — particles could skip a shard"
             )
     backend, interpret = resolve_backend(deck)
-    use_incremental = deck.rebin_mode == "incremental" or (
-        deck.rebin_mode == "auto" and backend == "pallas"
+    use_incremental = (
+        deck.rebin_mode == "incremental"
+        or (deck.rebin_mode == "auto" and backend == "pallas"
+            and deck.prefers_incremental())
     )
+    trigger_drift = bool(deck.species) and deck.uses_drift_trigger()
 
     fspec = FieldState(*(field_spec(),) * 6)
     pspec = ParticleState(*(particle_spec(),) * 6)
     n_sp = len(deck.species)
 
-    def local_step(f: FieldState, species, step):
+    def local_step(f: FieldState, species, step, drift):
         # Shard coordinates -> global offsets (traced scalars).
         myrow = lax.axis_index("ry")
         mycol = lax.axis_index("rx")
@@ -103,6 +106,10 @@ def build_sharded_step(deck: Deck, mesh: Mesh):
         jx = jy = jz = None
         kes = []
         moms = []
+        # Periodic wrap rides the kernel's position store on the pallas
+        # path (positions are global, so the mod is shard-agnostic).
+        kernel_wrap = (deck.nx, deck.ny) if (periodic and backend == "pallas") else None
+        center_grid = (deck.nx, deck.ny) if periodic else None
         for spec, p in zip(deck.species, species):
             pnew, (sjx, sjy, sjz) = advance_species_tiles(
                 p,
@@ -122,6 +129,8 @@ def build_sharded_step(deck: Deck, mesh: Mesh):
                 backend=backend,
                 interpret=interpret,
                 gather_precision=deck.gather_precision,
+                wrap=kernel_wrap,
+                grid=center_grid,
             )
             jx = sjx if jx is None else jx + sjx
             jy = sjy if jy is None else jy + sjy
@@ -157,10 +166,28 @@ def build_sharded_step(deck: Deck, mesh: Mesh):
         fe = lax.psum(field_energy(fnew, dx, dy), ("ry", "rx"))
 
         # --- 5. wrap, route across shards, re-bin ---
+        from ..simulation import max_step_displacement
+
+        if trigger_drift:
+            # Mesh-agreed measured drift so every shard takes the same
+            # re-bin branch (the branches contain collectives).
+            disp = lax.pmax(
+                max_step_displacement(new_species, dt, dx, dy), ("ry", "rx")
+            )
+            drift_now = drift + disp
+            do_rebin_pred = drift_now > deck.drift_threshold()
+        else:
+            drift_now = drift
+            do_rebin_pred = (
+                None if deck.rebin_interval == 1
+                else step % deck.rebin_interval == 0
+            )
+
         overflow = jnp.zeros((), jnp.int32)
         binned = []
         for p in new_species:
-            p = wrap_positions(p, deck.nx, deck.ny, periodic)
+            if kernel_wrap is None:
+                p = wrap_positions(p, deck.nx, deck.ny, periodic)
 
             def do_rebin_sort(pp):
                 merged, dropped = exchange_particles(
@@ -259,7 +286,7 @@ def build_sharded_step(deck: Deck, mesh: Mesh):
 
             do_rebin = do_rebin_incremental if (use_incremental and mc > 0) else do_rebin_sort
 
-            if deck.rebin_interval == 1:
+            if do_rebin_pred is None:
                 p, ov = do_rebin(p)
             else:
 
@@ -268,11 +295,12 @@ def build_sharded_step(deck: Deck, mesh: Mesh):
                     zero = lax.pcast(jnp.zeros((), jnp.int32), ("ry", "rx"), to="varying")
                     return pp, zero
 
-                p, ov = lax.cond(
-                    step % deck.rebin_interval == 0, do_rebin, skip_rebin, p
-                )
+                p, ov = lax.cond(do_rebin_pred, do_rebin, skip_rebin, p)
             overflow = overflow + lax.psum(ov, ("ry", "rx"))
             binned.append(p)
+
+        if trigger_drift:
+            drift_now = jnp.where(do_rebin_pred, 0.0, drift_now)
 
         diag = StepDiag(
             field_energy=fe,
@@ -280,10 +308,10 @@ def build_sharded_step(deck: Deck, mesh: Mesh):
             overflow=overflow,
             momentum=jnp.stack(moms) if moms else jnp.zeros((0, 3), deck.dtype),
         )
-        return fnew, tuple(binned), diag
+        return fnew, tuple(binned), diag, drift_now
 
-    in_specs = (fspec, (pspec,) * n_sp, P())
-    out_specs = (fspec, (pspec,) * n_sp, StepDiag(P(), P(), P(), P()))
+    in_specs = (fspec, (pspec,) * n_sp, P(), P())
+    out_specs = (fspec, (pspec,) * n_sp, StepDiag(P(), P(), P(), P()), P())
 
     # check_vma only off under interpret mode: the varying-axis *checker*
     # trips on unvarying loop indices inside Pallas interpret-mode lowering
@@ -295,8 +323,20 @@ def build_sharded_step(deck: Deck, mesh: Mesh):
     )
 
     def step(state: SimState):
-        fnew, species, diag = smapped(state.fields, state.species, state.step)
-        return SimState(fields=fnew, species=species, step=state.step + 1), diag
+        drift = state.drift
+        if trigger_drift and drift is None:
+            raise ValueError(
+                "deck uses drift-triggered re-binning but SimState.drift "
+                "is unset — initialize it to 0.0 (ShardedSimulation does)"
+            )
+        if drift is None:
+            drift = jnp.zeros((), jnp.float32)
+        fnew, species, diag, drift_now = smapped(
+            state.fields, state.species, state.step, drift
+        )
+        return SimState(
+            fields=fnew, species=species, step=state.step + 1, drift=drift_now
+        ), diag
 
     return step
 
@@ -348,7 +388,10 @@ class ShardedSimulation:
         if fields is None:
             fields = FieldState.zeros(deck.ny, deck.nx, deck.dtype)
         fields = FieldState(*(jax.device_put(np.asarray(c), fsh) for c in fields))
-        self.state = SimState(fields=fields, species=tuple(species), step=jnp.zeros((), jnp.int32))
+        self.state = SimState(
+            fields=fields, species=tuple(species), step=jnp.zeros((), jnp.int32),
+            drift=jnp.zeros((), jnp.float32),
+        )
         self._step = jax.jit(build_sharded_step(deck, self.mesh))
 
     def step(self, n: int = 1):

@@ -98,6 +98,8 @@ def advance_species_tiles(
     backend: str = "xla",
     interpret: bool = False,
     gather_precision: str = "exact",
+    wrap: Optional[Tuple[int, int]] = None,
+    grid: Optional[Tuple[int, int]] = None,
 ) -> Tuple[ParticleState, Tuple[jax.Array, jax.Array, jax.Array]]:
     """Gather + push + move + deposit for one species over its tile
     buffers, scanned in slot chunks.  Returns the pushed particles
@@ -127,7 +129,7 @@ def advance_species_tiles(
         kwargs = dict(
             qm=qm, q=q, order=order, tile_ny=nyt, tile_nx=nxt, g=g,
             dt=dt, dx=dx, dy=dy, kc=kc, gather_precision=gather_precision,
-            vma_axes=vma_axes,
+            wrap=wrap, grid=grid, vma_axes=vma_axes,
         )
         if interpret:
             kwargs["interpret"] = True
@@ -146,8 +148,10 @@ def advance_species_tiles(
 
     def body(carry, chunk: ParticleState):
         jx, jy, jz = carry
-        xi0 = chunk.x - ox
-        eta0 = chunk.y - oy
+        # Nearest-image centering (see tile_local_coords): box-wrapped
+        # particles in stale boundary buckets fold back into the tile's
+        # guard band instead of sitting +-nx off-window.
+        xi0, eta0 = tile_local_coords(chunk.x, chunk.y, (ox, oy), nxt, nyt, grid)
         ef = gather_chunk(ftiles, xi0, eta0, nyt, nxt, g, order)
         px, py, pz = boris_push(
             chunk.px, chunk.py, chunk.pz, ef.ex, ef.ey, ef.ez, ef.bx, ef.by, ef.bz, qm, dt
@@ -155,7 +159,8 @@ def advance_species_tiles(
         x1, y1 = advance_positions(chunk.x, chunk.y, px, py, pz, dt, dx, dy)
         _, _, vz = velocities(px, py, pz)
         djx, djy, djz = deposit_chunk(
-            xi0, eta0, x1 - ox, y1 - oy, vz, q * chunk.w, nyt, nxt, g, order, dt, dx, dy
+            xi0, eta0, xi0 + (x1 - chunk.x), eta0 + (y1 - chunk.y), vz,
+            q * chunk.w, nyt, nxt, g, order, dt, dx, dy
         )
         out = ParticleState(x1, y1, px, py, pz, chunk.w)
         return (jx + djx, jy + djy, jz + djz), out
@@ -166,6 +171,37 @@ def advance_species_tiles(
         return a.transpose(1, 0, 2).reshape(t_total, cap)
 
     return jax.tree_util.tree_map(unchunk, ys), (jx, jy, jz)
+
+
+def tile_local_coords(x, y, origins, tile_nx: int, tile_ny: int,
+                      grid: Optional[Tuple[int, int]] = None):
+    """Bucket-tile-local coordinates with nearest-image centering.
+
+    Between re-binning passes a particle may sit in a stale bucket; if it
+    wrapped the periodic box its raw offset to the bucket's tile is ~+-nx.
+    Centering folds it back into the tile's guard band so shape windows
+    stay valid.  grid=(nx, ny) for periodic domains; None = raw offsets."""
+    ox, oy = origins
+    xi = x - ox
+    eta = y - oy
+    if grid is not None:
+        gnx, gny = grid
+        xi = xi - gnx * jnp.floor((xi + (gnx - tile_nx) * 0.5) / gnx)
+        eta = eta - gny * jnp.floor((eta + (gny - tile_ny) * 0.5) / gny)
+    return xi, eta
+
+
+def max_step_displacement(species_states, dt: float, dx: float, dy: float):
+    """Largest per-axis displacement (in cells) any alive particle made
+    this step, from the pushed momenta — the on-device observable behind
+    drift-triggered re-binning (Deck.rebin_trigger)."""
+    disp = jnp.zeros((), jnp.float32)
+    for p in species_states:
+        inv_g = jax.lax.rsqrt(1.0 + p.px * p.px + p.py * p.py + p.pz * p.pz)
+        m = jnp.maximum(jnp.abs(p.px) * (dt / dx), jnp.abs(p.py) * (dt / dy))
+        m = jnp.where(p.w > 0, m * inv_g, 0.0)
+        disp = jnp.maximum(disp, jnp.max(m).astype(jnp.float32))
+    return disp
 
 
 def resolve_backend(deck: Deck) -> Tuple[str, bool]:
@@ -204,6 +240,11 @@ def build_step(deck: Deck):
         jx = jy = jz = None
         kes = []
         moms = []
+        # Periodic wrap rides the kernel's position store on the pallas
+        # path (saves a full pass over the particle arrays); the XLA path
+        # and absorbing boundaries wrap/absorb below.
+        kernel_wrap = (deck.nx, deck.ny) if (periodic and backend == "pallas") else None
+        center_grid = (deck.nx, deck.ny) if periodic else None
         for spec, p in zip(deck.species, state.species):
             pnew, (sjx, sjy, sjz) = advance_species_tiles(
                 p,
@@ -222,6 +263,8 @@ def build_step(deck: Deck):
                 backend=backend,
                 interpret=interpret,
                 gather_precision=deck.gather_precision,
+                wrap=kernel_wrap,
+                grid=center_grid,
             )
             jx = sjx if jx is None else jx + sjx
             jy = sjy if jy is None else jy + sjy
@@ -247,14 +290,34 @@ def build_step(deck: Deck):
         if mask is not None:
             f = apply_damping(f, mask)
 
-        use_incremental = deck.rebin_mode == "incremental" or (
-            deck.rebin_mode == "auto" and backend == "pallas"
+        use_incremental = (
+            deck.rebin_mode == "incremental"
+            or (deck.rebin_mode == "auto" and backend == "pallas"
+                and deck.prefers_incremental())
         )
+        trigger_drift = bool(deck.species) and deck.uses_drift_trigger()
+
+        if trigger_drift:
+            if state.drift is None:
+                raise ValueError(
+                    "deck uses drift-triggered re-binning but SimState.drift "
+                    "is unset — initialize it to 0.0 (Simulation does)"
+                )
+            disp = max_step_displacement(new_species, dt, dx, dy)
+            drift_now = state.drift + disp
+            do_rebin_pred = drift_now > deck.drift_threshold()
+        else:
+            drift_now = state.drift
+            do_rebin_pred = (
+                None if deck.rebin_interval == 1
+                else state.step % deck.rebin_interval == 0
+            )
 
         overflow = jnp.zeros((), jnp.int32)
         binned = []
         for p in new_species:
-            p = wrap_positions(p, deck.nx, deck.ny, periodic)
+            if kernel_wrap is None:
+                p = wrap_positions(p, deck.nx, deck.ny, periodic)
 
             mc = deck.mover_cap(p.capacity) if use_incremental else 0
             if use_incremental and mc > 0:
@@ -266,17 +329,18 @@ def build_step(deck: Deck):
                 def do(pp):
                     return rebin(pp, tiling)
 
-            if deck.rebin_interval == 1:
+            if do_rebin_pred is None:
                 p, ov = do(p)
             else:
                 def skip(pp):
                     return pp, jnp.zeros((), jnp.int32)
 
-                p, ov = jax.lax.cond(
-                    state.step % deck.rebin_interval == 0, do, skip, p
-                )
+                p, ov = jax.lax.cond(do_rebin_pred, do, skip, p)
             overflow = overflow + ov
             binned.append(p)
+
+        if trigger_drift:
+            drift_now = jnp.where(do_rebin_pred, 0.0, drift_now)
 
         diag = StepDiag(
             field_energy=field_energy(f, dx, dy),
@@ -284,7 +348,10 @@ def build_step(deck: Deck):
             overflow=overflow,
             momentum=jnp.stack(moms) if moms else jnp.zeros((0, 3), deck.dtype),
         )
-        new_state = SimState(fields=f, species=tuple(binned), step=state.step + 1)
+        new_state = SimState(
+            fields=f, species=tuple(binned), step=state.step + 1,
+            drift=drift_now,
+        )
         return new_state, diag
 
     return step
@@ -315,7 +382,10 @@ class Simulation:
             )
         if fields is None:
             fields = FieldState.zeros(deck.ny, deck.nx, deck.dtype)
-        self.state = SimState(fields=fields, species=tuple(species), step=jnp.zeros((), jnp.int32))
+        self.state = SimState(
+            fields=fields, species=tuple(species), step=jnp.zeros((), jnp.int32),
+            drift=jnp.zeros((), jnp.float32),
+        )
         self._step = jax.jit(build_step(deck))
         self._capmgrs = None  # per-species CapacityManagers, lazily built
 

@@ -137,6 +137,35 @@ def main():
 
     t_rebin = timeit(stage_rebin, pw); print(f"rebin_auto    {t_rebin*1e3:9.1f} ms", flush=True)
 
+    # --- rebin sub-stages ---
+    from minipic_tpu.ops.pallas.rebin_kernels import append_incoming, extract_movers
+    from minipic_tpu.particles.binning import rebin_flat
+
+    @jax.jit
+    def stage_xtract(pp):
+        return extract_movers(pp, tile_rows=tiling.tile_rows, tile_cols=tiling.tile_cols,
+                              tile_ny=tiling.tile_ny, tile_nx=tiling.tile_nx,
+                              b_cap=mc, interpret=interpret)
+
+    t_x = timeit(stage_xtract, pw); print(f"  extract     {t_x*1e3:9.1f} ms", flush=True)
+    p1, movers, wm, _da = stage_xtract(pw)
+
+    @jax.jit
+    def stage_route(mv):
+        flat = jax.tree_util.tree_map(lambda a: a.reshape(pw.num_tiles * mc), mv)
+        return rebin_flat(flat, tile_rows=tiling.tile_rows, tile_cols=tiling.tile_cols,
+                          tile_nx=tiling.tile_nx, tile_ny=tiling.tile_ny, capacity=mc)
+
+    t_r = timeit(stage_route, movers); print(f"  route       {t_r*1e3:9.1f} ms", flush=True)
+    incoming, _ = stage_route(movers)
+
+    @jax.jit
+    def stage_append(pp, inc, w):
+        return append_incoming(pp, inc, w, interpret=interpret)
+
+    t_a = timeit(stage_append, p1, incoming, wm); print(f"  append      {t_a*1e3:9.1f} ms", flush=True)
+    del p1, movers, incoming
+
     # --- stage: full sort rebin (for comparison) ---
     @jax.jit
     def stage_sort(pp):
@@ -158,7 +187,6 @@ def main():
     # --- whole step, scanned ---
     step = build_step(deck)
 
-    @jax.jit
     def multi(s, n):
         def body(ss, _):
             s2, _d = step(ss)

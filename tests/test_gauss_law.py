@@ -14,7 +14,7 @@ from minipic_tpu.core.config import Deck, SpeciesSpec
 from minipic_tpu.fields.halo import fold_block_periodic, pad_fields_periodic
 from minipic_tpu.fields.tiles import fold_tiles
 from minipic_tpu.particles.deposit import deposit_rho_chunk
-from minipic_tpu.simulation import Simulation, _tile_origins
+from minipic_tpu.simulation import Simulation, _tile_origins, tile_local_coords
 
 
 def _rho_global(sim, deck):
@@ -24,8 +24,12 @@ def _rho_global(sim, deck):
     rho = jnp.zeros((deck.ny, deck.nx), jnp.float64)
     ox, oy = _tile_origins(tiling, jnp.float64)
     for spec, p in zip(deck.species, sim.state.species):
+        xi, eta = tile_local_coords(
+            p.x, p.y, (ox, oy), tiling.tile_nx, tiling.tile_ny,
+            (deck.nx, deck.ny),
+        )
         tiles = deposit_rho_chunk(
-            p.x - ox, p.y - oy, spec.charge * p.w,
+            xi, eta, spec.charge * p.w,
             tiling.tile_ny, tiling.tile_nx, g, spec.shape_order,
             deck.dx, deck.dy,
         )
