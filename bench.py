@@ -26,8 +26,11 @@ def build(n_particles: int, grid: int, rebin_interval: int):
         box_y=float(grid) / 10.0,
         nx=grid,
         ny=grid,
-        tile_nx=int(os.environ.get("BENCH_TILE", 16)),
-        tile_ny=int(os.environ.get("BENCH_TILE", 16)),
+        # 8x8 tiles: nyg=16 puts the block-diagonal 6-component gather
+        # stack within one 128x128 MXU pass (ppd_kernel fused_gather);
+        # measured 4.12e8 vs 3.45e8 pushes/s at 16x16.
+        tile_nx=int(os.environ.get("BENCH_TILE", 8)),
+        tile_ny=int(os.environ.get("BENCH_TILE", 8)),
         guard=int(os.environ.get("BENCH_GUARD", 4)),  # drift <= guard-1 cells between re-bins
         species=(
             SpeciesSpec("ele", charge=-1.0, mass=1.0, ppc=ppc, uth=0.05),
@@ -106,6 +109,9 @@ def main():
                 break  # real bug — do not retry smaller
             print(f"bench: {n_try:.1e} particles OOM, retrying smaller: "
                   f"{str(e)[:200]}", file=sys.stderr)
+            # The remote TPU server frees a crashed client's allocations
+            # with a delay; retrying immediately cascades spurious OOMs.
+            time.sleep(45)
             continue
     print(json.dumps({"metric": "bench-failed", "value": 0, "unit": "pushes/s",
                       "vs_baseline": 0, "error": str(err)[:300]}))

@@ -125,16 +125,33 @@ class Deck:
         max_order = max((s.shape_order for s in self.species), default=1)
         return 1.0 if max_order == 1 else 1.5
 
+    def cfl_step_cells(self) -> float:
+        """Worst-case per-step displacement in cells (light-speed bound)."""
+        return self.dt / min(self.dx, self.dy)
+
     def drift_threshold(self) -> float:
         """Drift-triggered re-bin threshold (cells): re-bin once measured
-        accumulated drift exceeds this, so that even a light-speed next
-        step keeps every particle's full shape support inside its stale
-        tile's guard band."""
-        cfl_step = self.dt / min(self.dx, self.dy)  # per-step bound (< 1)
-        return self.guard - self.shape_reach() - cfl_step
+        accumulated drift exceeds this.  Two CFL steps below the guard
+        slack: one for the step after the trigger, one of grace so a
+        re-bin deferred by mover-buffer pressure (rebin_auto's
+        all-or-nothing extraction) can drain on the next step before the
+        force-drop line (force_threshold) is reached."""
+        return self.guard - self.shape_reach() - 2.0 * self.cfl_step_cells()
+
+    def force_threshold(self) -> float:
+        """Accumulated drift beyond which a deferred re-bin must extract
+        even at the cost of counted drops: one more light-speed step would
+        push a particle's shape support outside the guard band."""
+        return self.guard - self.shape_reach() - self.cfl_step_cells()
 
     def uses_drift_trigger(self) -> bool:
-        return self.rebin_trigger in ("drift", "auto")
+        if self.rebin_trigger == "drift":
+            return True
+        if self.rebin_trigger == "auto":
+            # Fall back to the interval schedule when the guard leaves no
+            # measured-drift budget (e.g. minimal guard + wide shapes).
+            return self.drift_threshold() > 0
+        return False
 
     def expected_mover_fraction(self) -> float:
         """Fraction of a tile's particles expected to cross a tile boundary
@@ -294,10 +311,11 @@ class Deck:
             raise ValueError("dt_factor must be < 1 (CFL)")
         if self.rebin_trigger not in ("auto", "drift", "interval"):
             raise ValueError(f"unknown rebin_trigger {self.rebin_trigger!r}")
-        if self.species and self.uses_drift_trigger():
+        if self.species and self.rebin_trigger == "drift":
             # Drift-triggered re-binning enforces the guard invariant
             # against *measured* motion; the deck only needs room for one
-            # worst-case step beyond the threshold.
+            # worst-case step beyond the threshold.  ("auto" falls back to
+            # the interval schedule instead of erroring.)
             if self.drift_threshold() <= 0:
                 raise ValueError(
                     f"guard={self.guard} leaves no drift budget for "

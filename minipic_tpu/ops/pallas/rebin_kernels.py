@@ -48,7 +48,7 @@ def _upper_tri(n):
 
 
 def _extract_kernel(
-    origin_ref,  # scalar-prefetch [2]: (row0, col0) global tile offsets
+    origin_ref,  # scalar-prefetch [3]: (row0, col0, force) — see below
     x_ref, y_ref, px_ref, py_ref, pz_ref, w_ref,  # in: [1, 1, K]
     wo_ref,  # out: [1, 1, K] new weights
     mov_ref,  # out: [1, N_CH, B] outgoing buffer (channel-major)
@@ -65,6 +65,36 @@ def _extract_kernel(
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, kc), 1)
     out_row = jax.lax.broadcasted_iota(jnp.int32, (kc, kc), 0)
 
+    def classify(c):
+        sl = pl.ds(c * kc, kc)
+        xc = x_ref[0, 0, sl].reshape(1, kc)
+        yc = y_ref[0, 0, sl].reshape(1, kc)
+        wc = w_ref[0, 0, sl].reshape(1, kc)
+        col = jnp.floor(xc * (1.0 / tile_nx))
+        row = jnp.floor(yc * (1.0 / tile_ny))
+        alive = wc > 0
+        moving = alive & ((col != my_col) | (row != my_row))
+        return xc, yc, wc, alive, moving
+
+    # Preflight: total movers in this tile.  If they exceed the buffer,
+    # extract NOTHING (all-or-nothing): the tile passes through untouched
+    # and reports its mover count as left_behind — the caller keeps the
+    # drift budget un-reset so the next step immediately re-triggers and
+    # drains the backlog.  (Partial extraction would have to decide which
+    # particles to lose; deferral loses none.)
+    def count_body(c, tot):
+        *_, moving = classify(c)
+        return tot + jnp.sum(moving.astype(jnp.int32)).astype(jnp.int32)
+
+    total_movers = jax.lax.fori_loop(0, n_chunks, count_body, jnp.int32(0))
+    # Flushes are whole-kc blocks, so the usable buffer is floor(b/kc)*kc.
+    fits_tile = total_movers <= (b_cap // kc) * kc
+    # force != 0: extract anyway, dropping the overflow (the caller's
+    # last-resort drain when the drift budget is exhausted and deferral
+    # is no longer safe; losses are counted and surfaced).
+    forced = origin_ref[2] != 0
+    extract_tile = fits_tile | forced
+
     def scoped(pend_ref):
         # Staging buffer [N_CH, 2*kc]: compacted movers of each chunk are
         # rotated to the current pending offset and added (zero regions
@@ -76,14 +106,8 @@ def _extract_kernel(
         def body(c, carry):
             cursor, pc, wm, dropped = carry
             sl = pl.ds(c * kc, kc)
-            xc = x_ref[0, 0, sl].reshape(1, kc)
-            yc = y_ref[0, 0, sl].reshape(1, kc)
-            wc = w_ref[0, 0, sl].reshape(1, kc)
-
-            col = jnp.floor(xc * (1.0 / tile_nx))
-            row = jnp.floor(yc * (1.0 / tile_ny))
-            alive = wc > 0
-            moving = alive & ((col != my_col) | (row != my_row))
+            xc, yc, wc, alive, moving = classify(c)
+            moving = moving & extract_tile
             mf = moving.astype(jnp.float32)
 
             # zero leavers' weights in place
@@ -159,6 +183,10 @@ def _extract_kernel(
             mov_ref[0, :, pl.ds(pl.multiple_of(cursor, kc), kc)] = pend_ref[:, :kc]
 
         dropped = dropped + jnp.where((pc > 0) & (cursor + kc > b_cap), pc, 0)
+        # Deferred tile: nothing was extracted or lost; report the backlog.
+        # (When forced, the tile did extract and `dropped` counts real
+        # losses from buffer overflow instead.)
+        dropped = jnp.where(extract_tile, dropped, total_movers)
 
         # Mosaic cannot store scalars to VMEM: pack the stats into lanes
         # 0..2 of channel 6 via a full-row write.
@@ -180,15 +208,19 @@ def _extract_kernel(
 def extract_movers(
     p: ParticleState, *, tile_rows: int, tile_cols: int, tile_ny: int,
     tile_nx: int, b_cap: int, kc: int = 128, interpret: bool = False,
-    row0=0, col0=0, vma_axes=(),
+    row0=0, col0=0, force=False, vma_axes=(),
 ):
-    """Returns (p with leavers' w zeroed, movers ParticleState [T, b_cap]
-    flat-compacted per tile, watermark [T] i32, dropped [T] i32).
+    """Returns (p with extracted leavers' w zeroed, movers ParticleState
+    [T, b_cap] flat-compacted per tile, watermark [T] i32, pending [T] i32).
+
+    All-or-nothing per tile: a tile whose movers exceed the buffer is left
+    UNTOUCHED and its mover count reported in `pending` — no particle is
+    lost; the caller re-triggers next step to drain the backlog.  With
+    force=True (drift budget exhausted) such tiles extract anyway and
+    `pending` counts the overflow as real drops.
 
     kc: compaction chunk width.  The permutation matmul costs O(kc) exact
-    MACs per SLOT (not per mover), so small chunks win: kc=128 does ~7
-    MXU cycles/slot vs ~48 at kc=512 (measured 4x wall-clock on the
-    extraction stage at 1e8 slots).
+    MACs per SLOT (not per mover), so small chunks win.
 
     row0/col0: global tile offsets of this (shard-local) grid — traced
     scalars in sharded runs."""
@@ -217,7 +249,8 @@ def extract_movers(
         return a.reshape(t_total, 1, cap)
 
     origin = jnp.stack(
-        [jnp.asarray(row0, jnp.int32), jnp.asarray(col0, jnp.int32)]
+        [jnp.asarray(row0, jnp.int32), jnp.asarray(col0, jnp.int32),
+         jnp.asarray(force, jnp.int32)]
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -248,6 +281,196 @@ def extract_movers(
         w=mov[:, 5],
     )
     return p._replace(w=wo.reshape(t_total, cap)), movers, wm, dropped
+
+
+def _defrag_kernel(
+    x_ref, y_ref, px_ref, py_ref, pz_ref, w_ref,  # in: [1, 1, K] (aliased)
+    *refs,  # [6 incoming [1,1,B] if merge] + 6 outs [1,1,K] + cnt [1,1,128]
+    kc: int, n_chunks: int, in_chunks: int, cap: int,
+):
+    """In-bucket compaction: squeeze w==0 holes out of one tile's bucket,
+    live slots first, zero tail — optionally streaming the tile's routed
+    *incoming* buffer through the same pipeline (merge-append), so the
+    result fits whenever census <= capacity with no alignment slack.  No
+    cross-tile movement — this replaces the global defragmenting sort
+    (whose ~6 GB of transients at 1e8 slots were the step's peak-memory
+    driver) with a VMEM-local streaming pass.  In-place via aliasing:
+    compacted blocks land at cursor <= read point, so the write never
+    overtakes the unread input.  Census overflow beyond capacity is
+    dropped and counted (cnt lane 1)."""
+    ins = (x_ref, y_ref, px_ref, py_ref, pz_ref, w_ref)
+    inc = refs[:6] if in_chunks else ()
+    outs = refs[6 : 12] if in_chunks else refs[:6]
+    cnt_ref = refs[12] if in_chunks else refs[6]
+    tri = _upper_tri(kc)
+    out_row = jax.lax.broadcasted_iota(jnp.int32, (kc, kc), 0)
+    rank_prec = (jax.lax.Precision.DEFAULT if kc <= 256
+                 else jax.lax.Precision.HIGHEST)
+
+    def scoped(pend_ref):
+        pend_ref[...] = jnp.zeros(pend_ref.shape, pend_ref.dtype)
+
+        def step_chunk(carry, payload, wc):
+            cursor, pc, dropped = carry
+            af = (wc > 0).astype(jnp.float32)
+            rank = jax.lax.dot_general(
+                af, tri, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=rank_prec,
+            )
+            cnt = rank[0, kc - 1].astype(jnp.int32)
+            p_mat = ((rank - 1.0) == out_row.astype(jnp.float32)) & (wc > 0)
+            compact = jax.lax.dot_general(
+                payload, p_mat.astype(jnp.float32),
+                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,  # exact pass-through
+            )
+            cpad = jnp.concatenate(
+                [compact, jnp.zeros((6, kc), jnp.float32)], axis=1
+            )
+            pend_ref[...] += pltpu.roll(cpad, pc, 1)
+            pc = pc + cnt
+
+            @pl.when(pc >= kc)
+            def _flush():
+                fits = cursor + kc <= cap
+
+                @pl.when(fits)
+                def _w():
+                    slw = pl.ds(pl.multiple_of(cursor, kc), kc)
+                    for i, o in enumerate(outs):
+                        o[0, 0, slw] = pend_ref[i, :kc]
+
+                shifted = pltpu.roll(pend_ref[...], kc, 1)
+                zero_tail = jax.lax.broadcasted_iota(jnp.int32, (6, 2 * kc), 1) < kc
+                pend_ref[...] = jnp.where(zero_tail, shifted, 0.0)
+
+            flushed = pc >= kc
+            over = flushed & (cursor + kc > cap)
+            dropped = dropped + jnp.where(over, kc, 0)
+            cursor = cursor + jnp.where(flushed & ~over, kc, 0)
+            pc = jnp.where(flushed, pc - kc, pc)
+            return cursor, pc, dropped
+
+        def bucket_body(c, carry):
+            sl = pl.ds(c * kc, kc)
+            payload = jnp.concatenate(
+                [r[0, 0, sl].reshape(1, kc) for r in ins], axis=0
+            )
+            return step_chunk(carry, payload, payload[5:6])
+
+        carry = jax.lax.fori_loop(
+            0, n_chunks, bucket_body, (jnp.int32(0), jnp.int32(0), jnp.int32(0))
+        )
+
+        if in_chunks:
+            def inc_body(c, carry):
+                sl = pl.ds(c * kc, kc)
+                payload = jnp.concatenate(
+                    [r[0, 0, sl].reshape(1, kc) for r in inc], axis=0
+                )
+                return step_chunk(carry, payload, payload[5:6])
+
+            carry = jax.lax.fori_loop(0, in_chunks, inc_body, carry)
+
+        cursor, pc, dropped = carry
+
+        # Tail partial block (cursor + kc <= cap when anything remains:
+        # the over branch froze the cursor otherwise).
+        @pl.when((pc > 0) & (cursor + kc <= cap))
+        def _tail():
+            slw = pl.ds(pl.multiple_of(cursor, kc), kc)
+            for i, o in enumerate(outs):
+                o[0, 0, slw] = pend_ref[i, :kc]
+
+        dropped = dropped + jnp.where((pc > 0) & (cursor + kc > cap), pc, 0)
+        live = jnp.minimum(cursor + pc, cap)
+        done_blocks = (cursor // kc) + jnp.where(pc > 0, 1, 0)
+
+        # Zero every block past the compacted prefix (aliasing does not
+        # pre-fill outputs; every element must be written).
+        def zero_body(b, _):
+            @pl.when(b >= done_blocks)
+            def _z():
+                slw = pl.ds(pl.multiple_of(b * kc, kc), kc)
+                for o in outs:
+                    o[0, 0, slw] = jnp.zeros((kc,), jnp.float32)
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, zero_body, 0)
+
+        blane = jax.lax.broadcasted_iota(jnp.int32, (128,), 0)
+        cnt_ref[0, 0, :] = jnp.where(
+            blane == 0, live.astype(jnp.float32),
+            jnp.where(blane == 1, dropped.astype(jnp.float32), 0.0),
+        )
+
+    pl.run_scoped(scoped, pltpu.VMEM((6, 2 * kc), jnp.float32))
+
+
+def defrag_buckets(
+    p: ParticleState, incoming: ParticleState | None = None, *,
+    kc: int = 128, interpret: bool = False, vma_axes=(),
+):
+    """Compact every tile bucket in place (live-first, zero tail),
+    optionally merge-appending each tile's routed incoming buffer in the
+    same pass.
+
+    Returns (p2, live counts [T] i32, dropped [T] i32) — dropped is
+    census overflow beyond bucket capacity (the only loss mode, same as
+    the sort's).  The TPU-native replacement for the reference's full
+    re-sort defrag: O(slots) streaming VMEM work, no gather/scatter/sort,
+    faster than the 7-operand global sort and — decisively — no multi-GB
+    sort transients in the step's memory arena."""
+    t_total, cap = p.num_tiles, p.capacity
+    if cap % kc:
+        for d in (128, 256, 384, 512):
+            if cap % d == 0:
+                kc = d
+                break
+        else:
+            kc = cap
+    b_in = 0 if incoming is None else incoming.capacity
+    if b_in % kc:
+        raise ValueError(f"incoming capacity {b_in} not a multiple of kc {kc}")
+
+    pin = pl.BlockSpec((1, 1, cap), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    iin = pl.BlockSpec((1, 1, b_in), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec((1, 1, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+
+    def r3(a, n=cap):
+        return a.reshape(t_total, 1, n)
+
+    vma = frozenset(vma_axes) if vma_axes else None
+
+    def sds(shape, dt_):
+        return (jax.ShapeDtypeStruct(shape, dt_, vma=vma) if vma
+                else jax.ShapeDtypeStruct(shape, dt_))
+
+    args = [r3(p.x), r3(p.y), r3(p.px), r3(p.py), r3(p.pz), r3(p.w)]
+    in_specs = [pin] * 6
+    if incoming is not None:
+        args += [r3(a, b_in) for a in
+                 (incoming.x, incoming.y, incoming.px, incoming.py,
+                  incoming.pz, incoming.w)]
+        in_specs += [iin] * 6
+
+    outs = pl.pallas_call(
+        functools.partial(
+            _defrag_kernel, kc=kc, n_chunks=cap // kc,
+            in_chunks=b_in // kc, cap=cap,
+        ),
+        grid=(t_total,),
+        in_specs=in_specs,
+        out_specs=[pin] * 6 + [cspec],
+        out_shape=[sds((t_total, 1, cap), p.x.dtype)] * 6
+        + [sds((t_total, 1, 128), jnp.float32)],
+        input_output_aliases={0: 0, 1: 1, 2: 2, 3: 3, 4: 4, 5: 5},
+        interpret=interpret,
+    )(*args)
+    p2 = ParticleState(*(a.reshape(t_total, cap) for a in outs[:6]))
+    counts = outs[6][:, 0, 0].astype(jnp.int32)
+    dropped = outs[6][:, 0, 1].astype(jnp.int32)
+    return p2, counts, dropped
 
 
 def _append_kernel(

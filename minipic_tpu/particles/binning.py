@@ -208,37 +208,86 @@ def rebin_auto(
     mover_cap: int,
     *,
     interpret: bool = False,
-) -> Tuple[ParticleState, jax.Array]:
-    """Incremental re-bin with a lossless full-sort fallback, decided
-    *before* the append materializes:
+    force=False,
+) -> Tuple[ParticleState, jax.Array, jax.Array]:
+    """Sortless incremental re-bin: extract movers (all-or-nothing per
+    tile), route them through the small filler-key sort, and append at the
+    watermarks — with an in-bucket streaming DEFRAG (no global sort) when
+    the append would not fit.
 
-    * any extraction/routing drop, or
-    * a bucket whose watermark + this inflow (+ a same-size forecast for
-      the next pass and the 128-lane append slack) would not fit
+    Returns (p2, dropped, pending):
+    * dropped — particles actually lost (destination bucket/in-buffer truly
+      over capacity, or forced extraction overflow); drivers grow capacity.
+    * pending — movers left in place because a tile's outgoing buffer was
+      too small this pass (nothing lost).  The caller must NOT reset its
+      drift budget while pending > 0, so the next step re-triggers and
+      drains the backlog; pass force=True once the budget is exhausted to
+      drop-and-count instead (never corrupt physics silently).
 
-    sends the ORIGINAL state through the full defragmenting sort instead —
-    no particle is ever lost to the fast path, the sort amortizes to the
-    rare defrag, and peak memory stays ~1 bucket-set (extraction reuses the
-    position/momentum buffers; only w is rewritten)."""
-    cap = p.capacity
-    p1, movers, wm, dropped_a, incoming, ovf_small = _extract_and_route(
-        p, tiling, mover_cap, interpret
+    Replaces the old full-sort fallback: the 7-operand global sort put
+    ~6 GB of transients in the jitted step's arena at 1e8 slots (the whole
+    program peaked at 15.97/16 GB); the defrag kernel streams buckets
+    through VMEM with no HBM transients at all."""
+    from ..ops.pallas.rebin_kernels import append_incoming, defrag_buckets
+
+    p1, movers, wm, pending = _extract_and_route_ex(
+        p, tiling, mover_cap, interpret, force
     )
+    incoming, ovf_small = _route(movers, p, tiling, mover_cap)
     n_in = jnp.sum((incoming.w > 0).astype(jnp.int32), axis=1)
-    headroom_ok = jnp.all(wm + 2 * n_in <= cap - 128)
-    ok = (dropped_a.sum() == 0) & (ovf_small == 0) & headroom_ok
+    # The watermark append needs 128 lanes of anchor-alignment slack; when
+    # any bucket is tighter than that, the merge-defrag pass places
+    # arrivals with no slack at all (fits whenever census <= capacity).
+    headroom_ok = jnp.all(wm + n_in <= p.capacity - 256)
 
-    from ..ops.pallas.rebin_kernels import append_incoming
+    def fast(pp):
+        return append_incoming(pp, incoming, wm, interpret=interpret)
 
-    def fast(_):
-        p2, dropped_b = append_incoming(p1, incoming, wm, interpret=interpret)
-        return p2, dropped_b.sum().astype(jnp.int32)
+    def slow(pp):
+        pd, _counts, dropped = defrag_buckets(
+            pp, incoming, interpret=interpret
+        )
+        return pd, dropped
 
-    def slow(_):
-        out, ovf2 = rebin(p, tiling)
-        return out, ovf2.astype(jnp.int32)
+    p2, dropped_b = jax.lax.cond(headroom_ok, fast, slow, p1)
+    dropped = (ovf_small + dropped_b.sum()).astype(jnp.int32)
+    if not (isinstance(force, bool) and not force):
+        # Forced passes convert the backlog into counted drops.
+        forced = jnp.asarray(force)
+        dropped = dropped + jnp.where(forced, pending.sum(), 0).astype(jnp.int32)
+        pending_out = jnp.where(forced, 0, pending.sum()).astype(jnp.int32)
+    else:
+        pending_out = pending.sum().astype(jnp.int32)
+    return p2, dropped, pending_out
 
-    return jax.lax.cond(ok, fast, slow, None)
+
+def _extract_and_route_ex(p, tiling, mover_cap, interpret, force):
+    from ..ops.pallas.rebin_kernels import extract_movers
+
+    return extract_movers(
+        p,
+        tile_rows=tiling.tile_rows,
+        tile_cols=tiling.tile_cols,
+        tile_ny=tiling.tile_ny,
+        tile_nx=tiling.tile_nx,
+        b_cap=mover_cap,
+        interpret=interpret,
+        force=force,
+    )
+
+
+def _route(movers, p, tiling, mover_cap):
+    flat = jax.tree_util.tree_map(
+        lambda a: a.reshape(p.num_tiles * mover_cap), movers
+    )
+    return rebin_flat(
+        flat,
+        tile_rows=tiling.tile_rows,
+        tile_cols=tiling.tile_cols,
+        tile_nx=tiling.tile_nx,
+        tile_ny=tiling.tile_ny,
+        capacity=mover_cap,
+    )
 
 
 def tile_counts(p: ParticleState) -> jax.Array:

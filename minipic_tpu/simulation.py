@@ -292,8 +292,7 @@ def build_step(deck: Deck):
 
         use_incremental = (
             deck.rebin_mode == "incremental"
-            or (deck.rebin_mode == "auto" and backend == "pallas"
-                and deck.prefers_incremental())
+            or (deck.rebin_mode == "auto" and backend == "pallas")
         )
         trigger_drift = bool(deck.species) and deck.uses_drift_trigger()
 
@@ -306,14 +305,19 @@ def build_step(deck: Deck):
             disp = max_step_displacement(new_species, dt, dx, dy)
             drift_now = state.drift + disp
             do_rebin_pred = drift_now > deck.drift_threshold()
+            # Beyond this line a deferred re-bin may no longer wait:
+            # extract with counted drops rather than corrupt physics.
+            force_flag = drift_now > deck.force_threshold()
         else:
             drift_now = state.drift
             do_rebin_pred = (
                 None if deck.rebin_interval == 1
                 else state.step % deck.rebin_interval == 0
             )
+            force_flag = True  # interval mode has no deferral budget
 
         overflow = jnp.zeros((), jnp.int32)
+        pending_total = jnp.zeros((), jnp.int32)
         binned = []
         for p in new_species:
             if kernel_wrap is None:
@@ -324,23 +328,32 @@ def build_step(deck: Deck):
                 from .particles.binning import rebin_auto
 
                 def do(pp):
-                    return rebin_auto(pp, tiling, mc, interpret=interpret)
+                    return rebin_auto(pp, tiling, mc, interpret=interpret,
+                                      force=force_flag)
             else:
                 def do(pp):
-                    return rebin(pp, tiling)
+                    out, ov = rebin(pp, tiling)
+                    return out, ov, jnp.zeros((), jnp.int32)
 
             if do_rebin_pred is None:
-                p, ov = do(p)
+                p, ov, pend = do(p)
             else:
                 def skip(pp):
-                    return pp, jnp.zeros((), jnp.int32)
+                    z = jnp.zeros((), jnp.int32)
+                    return pp, z, z
 
-                p, ov = jax.lax.cond(do_rebin_pred, do, skip, p)
+                p, ov, pend = jax.lax.cond(do_rebin_pred, do, skip, p)
             overflow = overflow + ov
+            pending_total = pending_total + pend
             binned.append(p)
 
         if trigger_drift:
-            drift_now = jnp.where(do_rebin_pred, 0.0, drift_now)
+            # Reset the budget only after a complete re-bin; deferred
+            # backlog (pending) keeps the budget hot so the next step
+            # re-triggers and drains it.
+            drift_now = jnp.where(
+                do_rebin_pred & (pending_total == 0), 0.0, drift_now
+            )
 
         diag = StepDiag(
             field_energy=field_energy(f, dx, dy),

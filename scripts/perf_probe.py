@@ -133,7 +133,7 @@ def main():
 
     @jax.jit
     def stage_rebin(pp):
-        return rebin_auto(pp, tiling, mc, interpret=interpret)
+        return rebin_auto(pp, tiling, mc, interpret=interpret)[:2]
 
     t_rebin = timeit(stage_rebin, pw); print(f"rebin_auto    {t_rebin*1e3:9.1f} ms", flush=True)
 

@@ -71,15 +71,67 @@ def test_incremental_no_movers_is_identity_on_live_slots():
 def test_rebin_auto_defrags_under_pressure():
     deck, tiling, p = _fixture()
     # Tiny capacity margin: repeated incremental passes must trigger the
-    # full-sort defrag branch rather than dropping particles.
+    # in-bucket defrag branch rather than dropping particles.
     n0 = int(p.alive_count())
     key = jax.random.PRNGKey(9)
     for i in range(6):
         dx = jax.random.uniform(jax.random.fold_in(key, i), p.x.shape, jnp.float32, -0.8, 0.8)
         p = p._replace(x=jnp.mod(p.x + dx, deck.nx))
-        p, ovf = rebin_auto(p, tiling, mover_cap=256, interpret=True)
-        assert int(ovf) == 0
+        p, ovf, pend = rebin_auto(p, tiling, mover_cap=256, interpret=True)
+        assert int(ovf) == 0 and int(pend) == 0
     assert int(p.alive_count()) == n0
+
+
+def test_defrag_buckets_compacts_in_place():
+    from minipic_tpu.ops.pallas.rebin_kernels import defrag_buckets
+
+    deck, tiling, p = _fixture()
+    # Punch interior holes: kill a strided subset.
+    kill = (jnp.arange(p.capacity) % 3) == 1
+    p = p._replace(w=jnp.where(kill[None, :], 0.0, p.w))
+    before = _masked_multiset(p)
+    counts_before = np.asarray(tile_counts(p))
+    p2, counts, dropped = defrag_buckets(p, interpret=True)
+    assert int(dropped.sum()) == 0
+    np.testing.assert_array_equal(np.asarray(counts), counts_before)
+    after = _masked_multiset(p2)
+    for name in before:
+        np.testing.assert_allclose(
+            after[name], before[name], rtol=0, atol=0, equal_nan=True, err_msg=name
+        )
+    # Live-compacted: every live slot sits below its tile's count.
+    w2 = np.asarray(p2.w)
+    for t in range(p2.num_tiles):
+        c = int(counts[t])
+        assert (w2[t, :c] > 0).all()
+        assert (w2[t, c:] == 0).all()
+
+
+def test_extract_all_or_nothing_defers_without_loss():
+    from minipic_tpu.ops.pallas.rebin_kernels import extract_movers
+
+    deck, tiling, p = _fixture(drift=0.0)
+    # Shift everything a full tile: every particle moves -> all 256/tile
+    # exceed the 128-slot buffer.
+    p = p._replace(x=jnp.mod(p.x + tiling.tile_nx, deck.nx))
+    n0 = int(p.alive_count())
+    p1, movers, wm, pending = extract_movers(
+        p, tile_rows=tiling.tile_rows, tile_cols=tiling.tile_cols,
+        tile_ny=tiling.tile_ny, tile_nx=tiling.tile_nx, b_cap=128,
+        interpret=True,
+    )
+    # Tiles over the tiny buffer defer: their particles stay, counted.
+    assert int(pending.sum()) > 0
+    n_after = int(p1.alive_count()) + int((movers.w > 0).sum())
+    assert n_after == n0  # nothing lost
+    # Forced: extraction proceeds, overflow becomes counted drops.
+    p1f, moversf, wmf, drops = extract_movers(
+        p, tile_rows=tiling.tile_rows, tile_cols=tiling.tile_cols,
+        tile_ny=tiling.tile_ny, tile_nx=tiling.tile_nx, b_cap=128,
+        interpret=True, force=True,
+    )
+    n_f = int(p1f.alive_count()) + int((moversf.w > 0).sum())
+    assert n_f + int(drops.sum()) == n0
 
 
 def test_full_simulation_with_incremental_rebin_matches_sort():
