@@ -107,9 +107,11 @@ class Deck:
     kchunk: int = 256
     # Fused Pallas gather/push/deposit kernel: "auto" (TPU + f32), "on", "off".
     use_pallas: str = "auto"
-    # Field-gather matmul precision: "exact" (full f32, default) or "fast"
-    # (TPU-native bf16 inputs, ~0.4% force error).  Deposition always runs
-    # exact — charge conservation is never traded.
+    # Field-gather matmul precision: "exact" (full f32 6-pass, default),
+    # "f32x3" (bf16x3 3-pass, ~1e-6 relative force error — half the
+    # gather's MXU latency), or "fast" (bf16 single pass, ~0.4% force
+    # error).  Deposition always runs exact — charge conservation is
+    # never traded.
     gather_precision: str = "exact"
     # Re-binning strategy: "sort" = full filler-key sort every pass;
     # "incremental" = movers-only kernels + watermark defrag (single-device,

@@ -77,7 +77,9 @@ def _kernel(
     fused_gather: bool,
     wrap: Tuple[int, int] | None,
     grid: Tuple[int, int] | None,
+    gather_mode: str = "exact",
     gather_prec=jax.lax.Precision.HIGHEST,
+    ablate: str = "",  # perf instrumentation (scripts/ablate_advance.py)
 ):
     nf = 1 if fused_gather else 2
     x_ref, y_ref, px_ref, py_ref, pz_ref, w_ref = refs[:6]
@@ -123,17 +125,46 @@ def _kernel(
         cy = jax.lax.broadcasted_iota(jnp.int32, (nyg, 1), 0).astype(jnp.float32) - g
 
         sx_i = _shape_vals(xi - cx, order)  # [nxg, KC]
-        sx_h = _shape_vals(xi - cx - 0.5, order)
         sy_i = _shape_vals(eta - cy, order)  # [nyg, KC]
-        sy_h = _shape_vals(eta - cy - 0.5, order)
+        if ablate == "stagger-evals":
+            sx_h, sy_h = sx_i, sy_i
+        else:
+            sx_h = _shape_vals(xi - cx - 0.5, order)
+            sy_h = _shape_vals(eta - cy - 0.5, order)
 
         if fused_gather:
-            # Both stagger classes in ONE single-MXU-pass dot: the caller
-            # stacks the six field windows block-diagonally ([6nyg, 2nxg],
-            # fits the 128x128 array when 6nyg <= 128), so one column
-            # stream per particle gathers all six components.
+            # Both stagger classes in ONE dot: the caller stacks the six
+            # field windows block-diagonally ([6nyg, 2nxg], fits the
+            # 128x128 array when 6nyg <= 128), so one column stream per
+            # particle gathers all six components.
             rhs = jnp.concatenate([sx_h, sx_i], axis=0)  # [2nxg, KC]
-            m = _dot_f_s(f_refs[0][0], rhs, gather_prec)  # [6nyg, KC]
+            if gather_mode == "fast":
+                m = _dot_f_s(f_refs[0][0], rhs, jax.lax.Precision.DEFAULT)
+            else:
+                # Multi-word gather as a SINGLE DEFAULT-precision dot:
+                # split each operand into exact bf16 words (8 mantissa
+                # bits each; three words span f32's 24) and stack the
+                # significant word-pair products along K — the MXU
+                # accumulates them in f32 in ONE issue instead of
+                # XLA-HIGHEST's six sequential passes (measured ~58 ms
+                # of serialized dot latency at 1e8 particles).
+                #   exact: 6 terms (0,0)(0,1)(1,0)(0,2)(1,1)(2,0),
+                #          K = 12nxg — dropped cross terms are O(2^-32),
+                #          i.e. f32-HIGHEST quality.
+                #   f32x3: 3 terms (0,0)(0,1)(1,0), K = 6nxg, one MXU
+                #          pass — ~1e-6 relative force error.
+                s0 = rhs.astype(jnp.bfloat16)
+                r = rhs - s0.astype(jnp.float32)
+                s1 = r.astype(jnp.bfloat16)
+                if gather_mode == "f32x3":
+                    rhs_w = jnp.concatenate([s0, s1, s0], axis=0)
+                else:
+                    s2 = (r - s1.astype(jnp.float32)).astype(jnp.bfloat16)
+                    rhs_w = jnp.concatenate([s0, s1, s0, s2, s1, s0], axis=0)
+                m = jax.lax.dot_general(
+                    f_refs[0][0], rhs_w, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [6nyg, KC]
             m_h, m_i = m[: 3 * nyg], m[3 * nyg :]
         else:
             # One dot per x-stagger class: the 3 components sharing Sx are
@@ -142,31 +173,76 @@ def _kernel(
             m_h = _dot_f_s(f_refs[0][0], sx_h, gather_prec)  # [3nyg, KC]: ex, by, bz
             m_i = _dot_f_s(f_refs[1][0], sx_i, gather_prec)  # [3nyg, KC]: ey, ez, bx
 
-        def red(m, lo, sy):  # -> [1, KC]
-            return jnp.sum(m[lo : lo + nyg] * sy, axis=0, keepdims=True)
+        def red(m_, lo, sy):  # -> [1, KC]
+            # Explicit pairwise halving tree for the sublane reduction:
+            # jnp.sum(axis=0) lowers to a chain whose cross-sublane adds
+            # made red() 40% of the whole kernel (79 of 198 ms at 1e8
+            # particles); the tree does the same sum in log2(nyg) shrinking
+            # adds.  (An MXU block-ones contraction was tried and is
+            # SLOWER: HIGHEST must hi/lo-split the [6nyg, KC] product on
+            # the VPU, costing more than the reduction it replaces.)
+            b = m_[lo : lo + nyg] * sy
+            n = nyg
+            while n > 1 and n % 2 == 0:
+                b = b[: n // 2] + b[n // 2 : n]
+                n //= 2
+            if n > 1:  # odd leftover (non-power-of-two windows)
+                b = jnp.sum(b, axis=0, keepdims=True)
+            return b.reshape(1, kc)
 
-        e1 = red(m_h, 0, sy_i)
-        b2 = red(m_h, nyg, sy_i)
-        b3 = red(m_h, 2 * nyg, sy_h)
-        e2 = red(m_i, 0, sy_h)
-        e3 = red(m_i, nyg, sy_i)
-        b1 = red(m_i, 2 * nyg, sy_h)
+        if ablate == "red":
+            z = jnp.zeros((1, kc), jnp.float32)
+            e1 = b2 = b3 = e2 = e3 = b1 = z
+        elif ablate == "red-row0":
+            def red1(m_, lo, sy):
+                return (m_[lo : lo + 1] * sy[0:1]).reshape(1, kc)
+            e1 = red1(m_h, 0, sy_i)
+            b2 = red1(m_h, nyg, sy_i)
+            b3 = red1(m_h, 2 * nyg, sy_h)
+            e2 = red1(m_i, 0, sy_h)
+            e3 = red1(m_i, nyg, sy_i)
+            b1 = red1(m_i, 2 * nyg, sy_h)
+        elif ablate == "red-nomul":
+            def redn(m_, lo):
+                b = m_[lo : lo + nyg]
+                n = nyg
+                while n > 1 and n % 2 == 0:
+                    b = b[: n // 2] + b[n // 2 : n]
+                    n //= 2
+                return b.reshape(1, kc)
+            e1 = redn(m_h, 0)
+            b2 = redn(m_h, nyg)
+            b3 = redn(m_h, 2 * nyg)
+            e2 = redn(m_i, 0)
+            e3 = redn(m_i, nyg)
+            b1 = redn(m_i, 2 * nyg)
+        else:
+            e1 = red(m_h, 0, sy_i)
+            b2 = red(m_h, nyg, sy_i)
+            b3 = red(m_h, 2 * nyg, sy_h)
+            e2 = red(m_i, 0, sy_h)
+            e3 = red(m_i, nyg, sy_i)
+            b1 = red(m_i, 2 * nyg, sy_h)
 
         # Boris rotation (all [1, KC] lanewise)
         h = qm * dt * 0.5
-        pxm = px + h * e1
-        pym = py + h * e2
-        pzm = pz + h * e3
-        gi = jax.lax.rsqrt(1.0 + pxm * pxm + pym * pym + pzm * pzm)
-        tx, ty, tz = h * b1 * gi, h * b2 * gi, h * b3 * gi
-        sf = 2.0 / (1.0 + tx * tx + ty * ty + tz * tz)
-        sxr, syr, szr = tx * sf, ty * sf, tz * sf
-        ppx = pxm + (pym * tz - pzm * ty)
-        ppy = pym + (pzm * tx - pxm * tz)
-        ppz = pzm + (pxm * ty - pym * tx)
-        pxn = pxm + (ppy * szr - ppz * syr) + h * e1
-        pyn = pym + (ppz * sxr - ppx * szr) + h * e2
-        pzn = pzm + (ppx * syr - ppy * sxr) + h * e3
+        if ablate == "boris":
+            pxn = px + h * e1  # keep a data dependence on the gather
+            pyn, pzn = py, pz
+        else:
+            pxm = px + h * e1
+            pym = py + h * e2
+            pzm = pz + h * e3
+            gi = jax.lax.rsqrt(1.0 + pxm * pxm + pym * pym + pzm * pzm)
+            tx, ty, tz = h * b1 * gi, h * b2 * gi, h * b3 * gi
+            sf = 2.0 / (1.0 + tx * tx + ty * ty + tz * tz)
+            sxr, syr, szr = tx * sf, ty * sf, tz * sf
+            ppx = pxm + (pym * tz - pzm * ty)
+            ppy = pym + (pzm * tx - pxm * tz)
+            ppz = pzm + (pxm * ty - pym * tx)
+            pxn = pxm + (ppy * szr - ppz * syr) + h * e1
+            pyn = pym + (ppz * sxr - ppx * szr) + h * e2
+            pzn = pzm + (ppx * syr - ppy * sxr) + h * e3
 
         gn = jax.lax.rsqrt(1.0 + pxn * pxn + pyn * pyn + pzn * pzn)
         xn = x + pxn * gn * (dt / dx)
@@ -190,8 +266,11 @@ def _kernel(
 
         # Esirkepov currents (from the UNwrapped move relative to the
         # centered old position, so ds is the true displacement)
-        s1x = _shape_vals(xi + (xn - x) - cx, order)
-        s1y = _shape_vals(eta + (yn - y) - cy, order)
+        if ablate == "esirkepov":
+            s1x, s1y = sx_i, sy_i
+        else:
+            s1x = _shape_vals(xi + (xn - x) - cx, order)
+            s1y = _shape_vals(eta + (yn - y) - cy, order)
         dsx = s1x - sx_i
         dsy = s1y - sy_i
         qw = q * w_ref[0, 0]  # [1, KC]
@@ -210,12 +289,16 @@ def _kernel(
         # and the caller cumsums the tiny [T, nyg, nxg] stacks instead —
         # this removed a per-chunk [nxg, nxg] x [nxg, 2KC] prefix matmul
         # that cost as much MXU time as the gather itself.
-        lhs = jnp.concatenate(
-            [by1, dsy * (qw * (-1.0 / (dt * dx))), sy_i * cz, dsy * cz], axis=0
-        )  # [4*nyg, KC]
-        rhs = jnp.concatenate(
-            [dsx, bx1, 0.5 * sx_i + (1.0 / 3.0) * dsx], axis=0
-        )  # [3*nxg, KC]
+        if ablate == "prep":
+            lhs = jnp.concatenate([sy_i, dsy, sy_i, dsy], axis=0)
+            rhs = jnp.concatenate([dsx, sx_i, dsx], axis=0)
+        else:
+            lhs = jnp.concatenate(
+                [by1, dsy * (qw * (-1.0 / (dt * dx))), sy_i * cz, dsy * cz], axis=0
+            )  # [4*nyg, KC]
+            rhs = jnp.concatenate(
+                [dsx, bx1, 0.5 * sx_i + (1.0 / 3.0) * dsx], axis=0
+            )  # [3*nxg, KC]
         dep = _dot_ss(lhs, rhs)  # [4*nyg, 3*nxg]
         jx_ref[0] += dep[0:nyg, 0:nxg]
         jy_ref[0] += dep[nyg : 2 * nyg, nxg : 2 * nxg]
@@ -247,6 +330,7 @@ def fused_push_deposit(
     gather_precision: str = "exact",
     wrap: Tuple[int, int] | None = None,
     grid: Tuple[int, int] | None = None,
+    ablate: str = "",
     vma_axes=(),
 ):
     """Returns (pushed ParticleState, (jx, jy, jz) tile stacks
@@ -279,16 +363,19 @@ def fused_push_deposit(
     pspec = pl.BlockSpec((1, 1, 1, kc), lambda i, k, *_: (i, k, 0, 0), memory_space=pltpu.VMEM)
     fspec = pl.BlockSpec((1, nyg, nxg), lambda i, k, *_: (i, 0, 0), memory_space=pltpu.VMEM)
     f3spec = pl.BlockSpec((1, 3 * nyg, nxg), lambda i, k, *_: (i, 0, 0), memory_space=pltpu.VMEM)
-    fbspec = pl.BlockSpec((1, 6 * nyg, 2 * nxg), lambda i, k, *_: (i, 0, 0), memory_space=pltpu.VMEM)
+    fb_w = {"fast": 2, "f32x3": 6}.get(gather_precision, 12) * nxg
+    fbspec = pl.BlockSpec((1, 6 * nyg, fb_w), lambda i, k, *_: (i, 0, 0), memory_space=pltpu.VMEM)
 
     kernel = functools.partial(
         _kernel,
         nxt=tile_nx, nyt=tile_ny, g=g, order=order,
         qm=qm, q=q, dt=dt, dx=dx, dy=dy, kc=kc,
-        fused_gather=fused_gather, wrap=wrap, grid=grid,
+        fused_gather=fused_gather, wrap=wrap, grid=grid, ablate=ablate,
+        gather_mode=gather_precision,
+        # The split (non-fused) path has no word-stacked layout; Mosaic
+        # supports only DEFAULT/HIGHEST there.
         gather_prec=(
-            jax.lax.Precision.DEFAULT
-            if gather_precision == "fast"
+            jax.lax.Precision.DEFAULT if gather_precision == "fast"
             else jax.lax.Precision.HIGHEST
         ),
     )
@@ -328,6 +415,17 @@ def fused_push_deposit(
         f_blk = jnp.zeros((t_total, 6 * nyg, 2 * nxg), dtype)
         f_blk = f_blk.at[:, : 3 * nyg, :nxg].set(f_hx)
         f_blk = f_blk.at[:, 3 * nyg :, nxg:].set(f_ix)
+        if gather_precision != "fast":
+            # Exact bf16 words of the field windows, laid out along K to
+            # pair with the kernel's shape words (see in-kernel comment).
+            f0 = f_blk.astype(jnp.bfloat16)
+            r = f_blk - f0.astype(dtype)
+            f1 = r.astype(jnp.bfloat16)
+            if gather_precision == "f32x3":
+                f_blk = jnp.concatenate([f0, f0, f1], axis=2)
+            else:
+                f2 = (r - f1.astype(dtype)).astype(jnp.bfloat16)
+                f_blk = jnp.concatenate([f0, f0, f1, f0, f1, f2], axis=2)
         f_args = (f_blk,)
     else:
         f_args = (f_hx, f_ix)

@@ -17,8 +17,10 @@ from minipic_tpu.core.state import field_energy
 
 
 def two_stream_deck(**kw):
+    # tile 8 / guard 4 -> nyg=16: exercises the fused single-dot gather
+    # (word-split exact path) on the real MXU.
     base = dict(
-        box_x=12.8, box_y=12.8, nx=128, ny=128, tile_nx=16, tile_ny=16,
+        box_x=12.8, box_y=12.8, nx=128, ny=128, tile_nx=8, tile_ny=8,
         guard=4, rebin_interval=8, kchunk=512,
         species=(
             SpeciesSpec("right", charge=-1.0, mass=1.0, ppc=16, ux=0.2, uth=0.02),

@@ -11,9 +11,9 @@ from minipic_tpu.particles.species import load_species
 from minipic_tpu.simulation import Simulation, _tile_origins, advance_species_tiles
 
 
-def _fixture(order=1, ppc=4, kchunk=32):
+def _fixture(order=1, ppc=4, kchunk=32, guard=2):
     deck = Deck(
-        box_x=4.0, box_y=4.0, nx=32, ny=32, tile_nx=8, tile_ny=8, guard=2,
+        box_x=4.0, box_y=4.0, nx=32, ny=32, tile_nx=8, tile_ny=8, guard=guard,
         species=(SpeciesSpec("e", -1.0, 1.0, ppc=ppc, ux=0.2, uth=0.1,
                              shape_order=order),),
         precision="f32", kchunk=kchunk,
@@ -39,9 +39,11 @@ def _fixture(order=1, ppc=4, kchunk=32):
     return deck, tiling, p, ftiles
 
 
-@pytest.mark.parametrize("order", [1, 2])
-def test_pallas_matches_xla_path(order):
-    deck, tiling, p, ftiles = _fixture(order=order)
+@pytest.mark.parametrize("order,guard", [(1, 2), (2, 2), (1, 4), (2, 4)])
+def test_pallas_matches_xla_path(order, guard):
+    # guard=4 -> nyg=16: exercises the fused single-dot gather + the
+    # block-ones MXU y-contraction; guard=2 -> nyg=12: the split path.
+    deck, tiling, p, ftiles = _fixture(order=order, guard=guard)
     kw = dict(
         qm=-1.0, q=-1.0, order=order,
         tile_ny=tiling.tile_ny, tile_nx=tiling.tile_nx,
