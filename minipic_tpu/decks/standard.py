@@ -171,12 +171,15 @@ def load_balance_stress(nx: int = 1024, ny: int = 1024, n_particles: float = Non
         return 0.1 + 4.0 * jnp.exp(-r2)
 
     deck = Deck(
-        box_x=102.4, box_y=102.4, nx=nx, ny=ny, tile_nx=16, tile_ny=16, guard=3,
+        # 8x8 tiles + guard 4: nyg=16 keeps the fused single-issue gather
+        # on the 128-wide MXU tile (ppd_kernel), and the guard funds the
+        # drift-triggered re-bin budget.
+        box_x=102.4, box_y=102.4, nx=nx, ny=ny, tile_nx=8, tile_ny=8, guard=4,
         species=(
             SpeciesSpec("ele", charge=-1.0, mass=1.0, ppc=ppc, uth=0.05, density=blob),
             SpeciesSpec("ion", charge=+1.0, mass=1836.0, ppc=ppc, density=blob),
         ),
-        rebin_interval=4, sim_time=10.0, mesh_shape=(2, 4),
+        sim_time=10.0, mesh_shape=(2, 4),
     )
     return Case("load_balance_stress", deck,
                 notes="sharded 2x4; uniform slot load under nonuniform density")
