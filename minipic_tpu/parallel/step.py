@@ -72,8 +72,7 @@ def build_sharded_step(deck: Deck, mesh: Mesh):
     backend, interpret = resolve_backend(deck)
     use_incremental = (
         deck.rebin_mode == "incremental"
-        or (deck.rebin_mode == "auto" and backend == "pallas"
-            and deck.prefers_incremental())
+        or (deck.rebin_mode == "auto" and backend == "pallas")
     )
     trigger_drift = bool(deck.species) and deck.uses_drift_trigger()
 
@@ -168,6 +167,8 @@ def build_sharded_step(deck: Deck, mesh: Mesh):
         # --- 5. wrap, route across shards, re-bin ---
         from ..simulation import max_step_displacement
 
+        pending_total = jnp.zeros((), jnp.int32)
+
         if trigger_drift:
             # Mesh-agreed measured drift so every shard takes the same
             # re-bin branch (the branches contain collectives).
@@ -176,12 +177,14 @@ def build_sharded_step(deck: Deck, mesh: Mesh):
             )
             drift_now = drift + disp
             do_rebin_pred = drift_now > deck.drift_threshold()
+            force_flag = drift_now > deck.force_threshold()
         else:
             drift_now = drift
             do_rebin_pred = (
                 None if deck.rebin_interval == 1
                 else step % deck.rebin_interval == 0
             )
+            force_flag = True  # interval mode has no deferral budget
 
         overflow = jnp.zeros((), jnp.int32)
         binned = []
@@ -189,9 +192,9 @@ def build_sharded_step(deck: Deck, mesh: Mesh):
             if kernel_wrap is None:
                 p = wrap_positions(p, deck.nx, deck.ny, periodic)
 
-            def do_rebin_sort(pp):
-                merged, dropped = exchange_particles(
-                    pp,
+            def do_exchange(mv):
+                return exchange_particles(
+                    mv,
                     block_x0=x0,
                     block_y0=y0,
                     block_nx=nx_l,
@@ -202,6 +205,9 @@ def build_sharded_step(deck: Deck, mesh: Mesh):
                     cols=cols,
                     cap=xcap,
                 )
+
+            def do_rebin_sort(pp):
+                merged, dropped = do_exchange(pp)
                 out, ov = rebin_flat(
                     merged,
                     tile_rows=ltr,
@@ -212,25 +218,31 @@ def build_sharded_step(deck: Deck, mesh: Mesh):
                     row0=trow0,
                     col0=tcol0,
                 )
-                return out, (ov + dropped).astype(jnp.int32)
+                zero = lax.pcast(jnp.zeros((), jnp.int32), ("ry", "rx"), to="varying")
+                return out, (ov + dropped).astype(jnp.int32), zero
 
             mc = deck.mover_cap(p.capacity) if use_incremental else 0
 
             def do_rebin_incremental(pp, mc=mc):
-                """Sharded movers-only pass: extract per shard, ppermute
-                only the mover buffers, small sort, append at watermarks.
-                Falls back to the full sort of the ORIGINAL state when any
-                shard hits a buffer/headroom limit; the predicate is
-                psum-agreed so every shard takes the same branch (the
-                branches contain collectives).  The fallback is lossless for
-                mover-buffer/headroom triggers; when the trigger is
-                *exchange*-buffer overflow (dropped_x != 0) the fallback
-                reruns exchange_particles at the same xcap and drops the
-                same particles — the drop is reported via the overflow diag
-                so the driver can grow exchange_capacity and re-jit."""
-                from ..ops.pallas.rebin_kernels import append_incoming, extract_movers
+                """Sharded sortless pass (mirrors binning.rebin_auto with a
+                cross-shard exchange between extract and route): extract
+                per shard (all-or-nothing per tile), ppermute only the
+                mover buffers, small routing sort, then append at the
+                watermarks — or merge-defrag in place when any bucket lacks
+                append headroom.  Both predicates are psum-agreed so every
+                shard takes the same branch (the branches contain
+                collectives).  Loss modes, all counted in the overflow
+                diag: true census overflow past bucket capacity, incoming
+                buffers past mover capacity, exchange-buffer overflow
+                (grow deck.exchange_capacity), and forced extraction once
+                the drift budget is exhausted.  Deferred tiles (pending)
+                lose nothing — the step keeps the drift budget hot and the
+                next step drains them."""
+                from ..ops.pallas.rebin_kernels import (
+                    append_incoming, defrag_buckets, extract_movers,
+                )
 
-                p1, movers, wm, dropped_a = extract_movers(
+                p1, movers, wm, pending = extract_movers(
                     pp,
                     tile_rows=ltr,
                     tile_cols=ltc,
@@ -240,20 +252,10 @@ def build_sharded_step(deck: Deck, mesh: Mesh):
                     interpret=interpret,
                     row0=trow0,
                     col0=tcol0,
+                    force=force_flag,
                     vma_axes=("ry", "rx"),
                 )
-                merged, dropped_x = exchange_particles(
-                    movers,
-                    block_x0=x0,
-                    block_y0=y0,
-                    block_nx=nx_l,
-                    block_ny=ny_l,
-                    nx=deck.nx,
-                    ny=deck.ny,
-                    rows=rows,
-                    cols=cols,
-                    cap=xcap,
-                )
+                merged, dropped_x = do_exchange(movers)
                 incoming, ovf_small = rebin_flat(
                     merged,
                     tile_rows=ltr,
@@ -265,42 +267,48 @@ def build_sharded_step(deck: Deck, mesh: Mesh):
                     col0=tcol0,
                 )
                 n_in = jnp.sum((incoming.w > 0).astype(jnp.int32), axis=1)
-                ok_local = (
-                    (dropped_a.sum() == 0)
-                    & (dropped_x == 0)
-                    & (ovf_small == 0)
-                    & jnp.all(wm + 2 * n_in <= pp.capacity - 128)
-                )
+                ok_local = jnp.all(wm + n_in <= pp.capacity - 256)
                 ok = lax.psum(ok_local.astype(jnp.int32), ("ry", "rx")) == rows * cols
 
                 def fast(_):
                     p2, db = append_incoming(
                         p1, incoming, wm, interpret=interpret, vma_axes=("ry", "rx")
                     )
-                    return p2, db.sum().astype(jnp.int32)
+                    return p2, db
 
                 def slow(_):
-                    return do_rebin_sort(pp)
+                    pd, _counts, dd = defrag_buckets(
+                        p1, incoming, interpret=interpret, vma_axes=("ry", "rx")
+                    )
+                    return pd, dd
 
-                return lax.cond(ok, fast, slow, None)
+                p2, drops = lax.cond(ok, fast, slow, None)
+                dropped = (dropped_x + ovf_small + drops.sum()).astype(jnp.int32)
+                forced = jnp.asarray(force_flag)
+                dropped = dropped + jnp.where(forced, pending.sum(), 0).astype(jnp.int32)
+                pend_out = jnp.where(forced, 0, pending.sum()).astype(jnp.int32)
+                return p2, dropped, pend_out
 
             do_rebin = do_rebin_incremental if (use_incremental and mc > 0) else do_rebin_sort
 
             if do_rebin_pred is None:
-                p, ov = do_rebin(p)
+                p, ov, pend = do_rebin(p)
             else:
 
                 def skip_rebin(pp):
                     # Match the rebin branch's varying-axis typing (vma).
                     zero = lax.pcast(jnp.zeros((), jnp.int32), ("ry", "rx"), to="varying")
-                    return pp, zero
+                    return pp, zero, zero
 
-                p, ov = lax.cond(do_rebin_pred, do_rebin, skip_rebin, p)
+                p, ov, pend = lax.cond(do_rebin_pred, do_rebin, skip_rebin, p)
             overflow = overflow + lax.psum(ov, ("ry", "rx"))
+            pending_total = pending_total + lax.psum(pend, ("ry", "rx"))
             binned.append(p)
 
         if trigger_drift:
-            drift_now = jnp.where(do_rebin_pred, 0.0, drift_now)
+            drift_now = jnp.where(
+                do_rebin_pred & (pending_total == 0), 0.0, drift_now
+            )
 
         diag = StepDiag(
             field_energy=fe,
