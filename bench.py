@@ -44,7 +44,9 @@ def build(n_particles: int, grid: int, rebin_interval: int):
         # tile-crossing rate, core/config.mover_cap); env knob for experiments
         mover_capacity=(int(os.environ["BENCH_MOVER_CAP"])
                         if "BENCH_MOVER_CAP" in os.environ else None),
-        kchunk=4096,  # larger chunks amortize Pallas grid-step overhead (measured)
+        # 0 = whole-bucket chunks: one kernel invocation per tile removes
+        # the per-chunk pipeline overhead (advance 152 -> 129 ms measured)
+        kchunk=int(os.environ.get("BENCH_KCHUNK", 0)),
     )
     sim = Simulation(deck)
     step = build_step(deck)

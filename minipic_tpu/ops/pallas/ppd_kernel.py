@@ -81,6 +81,7 @@ def _kernel(
     gather_prec=jax.lax.Precision.HIGHEST,
     ablate: str = "",  # perf instrumentation (scripts/ablate_advance.py)
 ):
+    abl = frozenset(ablate.split(",")) if ablate else frozenset()
     nf = 1 if fused_gather else 2
     x_ref, y_ref, px_ref, py_ref, pz_ref, w_ref = refs[:6]
     f_refs = refs[6 : 6 + nf]
@@ -126,7 +127,7 @@ def _kernel(
 
         sx_i = _shape_vals(xi - cx, order)  # [nxg, KC]
         sy_i = _shape_vals(eta - cy, order)  # [nyg, KC]
-        if ablate == "stagger-evals":
+        if "stagger-evals" in abl:
             sx_h, sy_h = sx_i, sy_i
         else:
             sx_h = _shape_vals(xi - cx - 0.5, order)
@@ -190,10 +191,10 @@ def _kernel(
                 b = jnp.sum(b, axis=0, keepdims=True)
             return b.reshape(1, kc)
 
-        if ablate == "red":
+        if "red" in abl:
             z = jnp.zeros((1, kc), jnp.float32)
             e1 = b2 = b3 = e2 = e3 = b1 = z
-        elif ablate == "red-row0":
+        elif "red-row0" in abl:
             def red1(m_, lo, sy):
                 return (m_[lo : lo + 1] * sy[0:1]).reshape(1, kc)
             e1 = red1(m_h, 0, sy_i)
@@ -202,7 +203,7 @@ def _kernel(
             e2 = red1(m_i, 0, sy_h)
             e3 = red1(m_i, nyg, sy_i)
             b1 = red1(m_i, 2 * nyg, sy_h)
-        elif ablate == "red-nomul":
+        elif "red-nomul" in abl:
             def redn(m_, lo):
                 b = m_[lo : lo + nyg]
                 n = nyg
@@ -226,7 +227,7 @@ def _kernel(
 
         # Boris rotation (all [1, KC] lanewise)
         h = qm * dt * 0.5
-        if ablate == "boris":
+        if "boris" in abl:
             pxn = px + h * e1  # keep a data dependence on the gather
             pyn, pzn = py, pz
         else:
@@ -266,7 +267,7 @@ def _kernel(
 
         # Esirkepov currents (from the UNwrapped move relative to the
         # centered old position, so ds is the true displacement)
-        if ablate == "esirkepov":
+        if "esirkepov" in abl:
             s1x, s1y = sx_i, sy_i
         else:
             s1x = _shape_vals(xi + (xn - x) - cx, order)
@@ -289,7 +290,7 @@ def _kernel(
         # and the caller cumsums the tiny [T, nyg, nxg] stacks instead —
         # this removed a per-chunk [nxg, nxg] x [nxg, 2KC] prefix matmul
         # that cost as much MXU time as the gather itself.
-        if ablate == "prep":
+        if "prep" in abl:
             lhs = jnp.concatenate([sy_i, dsy, sy_i, dsy], axis=0)
             rhs = jnp.concatenate([dsx, sx_i, dsx], axis=0)
         else:

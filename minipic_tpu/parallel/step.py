@@ -381,8 +381,11 @@ class ShardedSimulation:
         self.deck = deck
         self.mesh = make_mesh(deck, devices)
         cap = deck.capacity()
-        if cap % deck.kchunk:
-            cap = -(-cap // deck.kchunk) * deck.kchunk
+        # Buckets stay kchunk-aligned (or lane-aligned for whole-bucket
+        # chunks: the re-bin kernels slice in 128-lane blocks).
+        q = deck.kchunk if deck.kchunk > 0 else 128
+        if cap % q:
+            cap = -(-cap // q) * q
         key = jax.random.PRNGKey(seed)
         perm = shard_major_permutation(deck, self.mesh)
 

@@ -110,7 +110,7 @@ def advance_species_tiles(
     coordinate).
     """
     t_total, cap = p.num_tiles, p.capacity
-    kc = kchunk if cap % kchunk == 0 else cap
+    kc = cap if kchunk <= 0 or cap % kchunk else kchunk
     nc = cap // kc
     nxt, nyt = tile_nx, tile_ny
     ox, oy = origins
@@ -383,8 +383,11 @@ class Simulation:
         self.deck = deck
         tiling = deck.tiling
         cap = deck.capacity()
-        if cap % deck.kchunk:
-            cap = -(-cap // deck.kchunk) * deck.kchunk
+        # Buckets stay kchunk-aligned (or lane-aligned for whole-bucket
+        # chunks: the re-bin kernels slice in 128-lane blocks).
+        q = deck.kchunk if deck.kchunk > 0 else 128
+        if cap % q:
+            cap = -(-cap // q) * q
         key = jax.random.PRNGKey(seed)
         species = []
         for i, spec in enumerate(deck.species):
@@ -426,7 +429,8 @@ class Simulation:
             new_cap = mgr.plan(census(p), overflow)
             if new_cap is None:
                 continue
-            cap = -(-new_cap // self.deck.kchunk) * self.deck.kchunk
+            q = max(1, self.deck.kchunk)
+            cap = -(-new_cap // q) * q
             if cap > p.capacity:
                 species[i] = with_capacity(p, cap)
                 changed = True

@@ -85,9 +85,10 @@ def main():
     print(f"fast-gather      {t*1e3:8.1f} ms   -> HIGHEST 6-pass ~{(t_full-t)*1e3:.1f} ms", flush=True)
     t = run("", gather="f32x3")
     print(f"f32x3-gather     {t*1e3:8.1f} ms   (bf16x3, ~1e-6 force err)", flush=True)
-    for ab in ("red", "boris"):
+    for ab in ("red", "red,boris", "red,boris,esirkepov",
+               "red,boris,esirkepov,prep,stagger-evals"):
         t = run(ab)
-        print(f"no-{ab:13s} {t*1e3:8.1f} ms   -> stage ~{(t_full-t)*1e3:.1f} ms", flush=True)
+        print(f"no-{ab:37s} {t*1e3:8.1f} ms", flush=True)
 
 
 if __name__ == "__main__":

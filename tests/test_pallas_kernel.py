@@ -20,8 +20,9 @@ def _fixture(order=1, ppc=4, kchunk=32, guard=2):
     )
     tiling = deck.tiling
     cap = deck.capacity()
-    if cap % kchunk:
-        cap = -(-cap // kchunk) * kchunk
+    q = kchunk if kchunk > 0 else 128
+    if cap % q:
+        cap = -(-cap // q) * q
     key = jax.random.PRNGKey(3)
     p = load_species(deck.species[0], deck.domain, tiling, cap, key, jnp.float32)
     # Nontrivial fields
@@ -39,11 +40,14 @@ def _fixture(order=1, ppc=4, kchunk=32, guard=2):
     return deck, tiling, p, ftiles
 
 
-@pytest.mark.parametrize("order,guard", [(1, 2), (2, 2), (1, 4), (2, 4)])
-def test_pallas_matches_xla_path(order, guard):
-    # guard=4 -> nyg=16: exercises the fused single-dot gather + the
-    # block-ones MXU y-contraction; guard=2 -> nyg=12: the split path.
-    deck, tiling, p, ftiles = _fixture(order=order, guard=guard)
+@pytest.mark.parametrize("order,guard,kchunk",
+                         [(1, 2, 32), (2, 2, 32), (1, 4, 32), (2, 4, 32),
+                          (1, 4, 0)])
+def test_pallas_matches_xla_path(order, guard, kchunk):
+    # guard=4 -> nyg=16: exercises the fused single-dot (word-split)
+    # gather; guard=2 -> nyg=12: the split path; kchunk=0: whole-bucket
+    # chunks (one kernel invocation per tile).
+    deck, tiling, p, ftiles = _fixture(order=order, guard=guard, kchunk=kchunk)
     kw = dict(
         qm=-1.0, q=-1.0, order=order,
         tile_ny=tiling.tile_ny, tile_nx=tiling.tile_nx,
