@@ -87,6 +87,13 @@ def main(argv=None):
         help="force a jax backend (e.g. 'cpu'); note JAX_PLATFORMS env is "
         "frozen before user code under the axon sitecustomize",
     )
+    ap.add_argument(
+        "--profile", metavar="DIR", default=None,
+        help="write a jax.profiler trace of the first ~20 steps to DIR "
+        "(TensorBoard/XProf format; on tunneled chips only host-side "
+        "events are captured — scripts/perf_probe.py and "
+        "scripts/ablate_advance.py are the device-time tools)",
+    )
     args = ap.parse_args(argv)
 
     if args.platform:
@@ -172,8 +179,24 @@ def main(argv=None):
 
     save(0)
     print(f"deck={args.deck} grid={deck.ny}x{deck.nx} dt={deck.dt:.6g} steps={n_steps}", flush=True)
+    prof_until = 0
+    if args.profile:
+        import jax
+
+        prof_until = min(20, n_steps)
+        jax.profiler.start_trace(args.profile)
     for i in range(1, n_steps + 1):
         diag = sim.step()
+        if i == prof_until:
+            import jax
+
+            jax.profiler.stop_trace()
+            print(f"profiler trace (steps 1..{i}) written to {args.profile}", flush=True)
+        # Adaptive capacity: grow on overflow, shrink after calm spells
+        # (reference C7's migration pressure, answered by re-bucketing).
+        ovf = int(diag.overflow)
+        if hasattr(sim, "ensure_capacity") and (ovf > 0 or i % 50 == 0):
+            sim.ensure_capacity(ovf)
         if i % args.diag_every == 0 or i == n_steps:
             hist.record(i, deck.dt, diag)
         if i % save_every == 0:

@@ -125,8 +125,12 @@ def _kernel(
         cx = jax.lax.broadcasted_iota(jnp.int32, (nxg, 1), 0).astype(jnp.float32) - g
         cy = jax.lax.broadcasted_iota(jnp.int32, (nyg, 1), 0).astype(jnp.float32) - g
 
-        sx_i = _shape_vals(xi - cx, order)  # [nxg, KC]
-        sy_i = _shape_vals(eta - cy, order)  # [nyg, KC]
+        if "evals" in abl:
+            sx_i = jnp.zeros((nxg, 1), jnp.float32) + xi  # [nxg, KC] stand-in
+            sy_i = jnp.zeros((nyg, 1), jnp.float32) + eta
+        else:
+            sx_i = _shape_vals(xi - cx, order)  # [nxg, KC]
+            sy_i = _shape_vals(eta - cy, order)  # [nyg, KC]
         if "stagger-evals" in abl:
             sx_h, sy_h = sx_i, sy_i
         else:
@@ -300,7 +304,10 @@ def _kernel(
             rhs = jnp.concatenate(
                 [dsx, bx1, 0.5 * sx_i + (1.0 / 3.0) * dsx], axis=0
             )  # [3*nxg, KC]
-        dep = _dot_ss(lhs, rhs)  # [4*nyg, 3*nxg]
+        if "depdot" in abl:
+            dep = jnp.zeros((lhs.shape[0], rhs.shape[0]), jnp.float32)
+        else:
+            dep = _dot_ss(lhs, rhs)  # [4*nyg, 3*nxg]
         jx_ref[0] += dep[0:nyg, 0:nxg]
         jy_ref[0] += dep[nyg : 2 * nyg, nxg : 2 * nxg]
         jz_ref[0] += (

@@ -72,7 +72,8 @@ def main():
             return fused_push_deposit(
                 pp, ft, counts, (ox, oy), qm=-1.0, q=-1.0, order=1,
                 tile_ny=tiling.tile_ny, tile_nx=tiling.tile_nx, g=g,
-                dt=deck.dt, dx=deck.dx, dy=deck.dy, kc=deck.kchunk,
+                dt=deck.dt, dx=deck.dx, dy=deck.dy,
+                kc=(p.capacity if deck.kchunk <= 0 else deck.kchunk),
                 wrap=(deck.nx, deck.ny), grid=(deck.nx, deck.ny),
                 gather_precision=gather, ablate=ablate,
             )
@@ -85,10 +86,11 @@ def main():
     print(f"fast-gather      {t*1e3:8.1f} ms   -> HIGHEST 6-pass ~{(t_full-t)*1e3:.1f} ms", flush=True)
     t = run("", gather="f32x3")
     print(f"f32x3-gather     {t*1e3:8.1f} ms   (bf16x3, ~1e-6 force err)", flush=True)
-    for ab in ("red", "red,boris", "red,boris,esirkepov",
-               "red,boris,esirkepov,prep,stagger-evals"):
+    for ab in ("red", "red,boris,esirkepov,prep,stagger-evals",
+               "red,boris,esirkepov,prep,stagger-evals,depdot",
+               "red,boris,esirkepov,prep,stagger-evals,depdot,evals"):
         t = run(ab)
-        print(f"no-{ab:37s} {t*1e3:8.1f} ms", flush=True)
+        print(f"no-{ab:52s} {t*1e3:8.1f} ms", flush=True)
 
 
 if __name__ == "__main__":
