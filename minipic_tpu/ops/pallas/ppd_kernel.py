@@ -79,6 +79,7 @@ def _kernel(
     grid: Tuple[int, int] | None,
     gather_mode: str = "exact",
     gather_prec=jax.lax.Precision.HIGHEST,
+    body_sub: int = 1,
     ablate: str = "",  # perf instrumentation (scripts/ablate_advance.py)
 ):
     abl = frozenset(ablate.split(",")) if ablate else frozenset()
@@ -104,13 +105,65 @@ def _kernel(
     px = px_ref[0, 0]
     py = py_ref[0, 0]
     pz = pz_ref[0, 0]
+    qw_full = q * w_ref[0, 0]
 
     @pl.when(k * kc < counts_ref[t])
     def _body():
+        # Sub-chunk loop (unrolled): with whole-bucket blocks, splitting
+        # the body into body_sub independent lane slices lets Mosaic's
+        # scheduler overlap sub-chunk s's deposit dot (MXU) with sub-chunk
+        # s+1's element-wise physics (VPU) — the two have no dependence.
+        w = kc // body_sub
+        outs = []
+        j_acc = None
+        for s in range(body_sub):
+            o = _sub_chunk(
+                x[:, s * w : (s + 1) * w], y[:, s * w : (s + 1) * w],
+                px[:, s * w : (s + 1) * w], py[:, s * w : (s + 1) * w],
+                pz[:, s * w : (s + 1) * w], qw_full[:, s * w : (s + 1) * w],
+                f_refs, ox_ref[t], oy_ref[t], w,
+                nxt=nxt, nyt=nyt, g=g, order=order, qm=qm, dt=dt, dx=dx,
+                dy=dy, fused_gather=fused_gather, wrap=wrap, grid=grid,
+                gather_mode=gather_mode, gather_prec=gather_prec, abl=abl,
+            )
+            outs.append(o[:5])
+            j_acc = o[5:] if j_acc is None else tuple(
+                a + b for a, b in zip(j_acc, o[5:])
+            )
+
+        for ref, parts in zip((xo_ref, yo_ref, pxo_ref, pyo_ref, pzo_ref),
+                              zip(*outs)):
+            ref[0, 0] = (parts[0] if body_sub == 1
+                         else jnp.concatenate(parts, axis=1))
+        jx_ref[0] += j_acc[0]
+        jy_ref[0] += j_acc[1]
+        jz_ref[0] += j_acc[2]
+
+    @pl.when(k * kc >= counts_ref[t])
+    def _skip():
+        # Fully-dead chunk: state passes through untouched.
+        xo_ref[0, 0] = x
+        yo_ref[0, 0] = y
+        pxo_ref[0, 0] = px
+        pyo_ref[0, 0] = py
+        pzo_ref[0, 0] = pz
+
+
+def _sub_chunk(
+    x, y, px, py, pz, qw, f_refs, ox_s, oy_s, kc,
+    *, nxt, nyt, g, order, qm, dt, dx, dy,
+    fused_gather, wrap, grid, gather_mode, gather_prec, abl,
+):
+    """One lane-slice of the fused pipeline; returns
+    (x', y', px', py', pz', jx, jy, jz) with J as [nyg/ nxg] window
+    contributions for the caller to accumulate."""
+    nxg = nxt + 2 * g
+    nyg = nyt + 2 * g
+    if True:
         # Transposed shape matrices: grid axis on sublanes, particles on
         # lanes — every later op is either lane-wise VPU or an MXU dot.
-        ox = ox_ref[t].astype(jnp.float32)
-        oy = oy_ref[t].astype(jnp.float32)
+        ox = ox_s.astype(jnp.float32)
+        oy = oy_s.astype(jnp.float32)
         xi = x - ox  # [1, KC] tile-local
         eta = y - oy
         if grid is not None:
@@ -260,14 +313,11 @@ def _kernel(
             wnx, wny = wrap
             xw = xn - wnx * jnp.floor(xn * (1.0 / wnx))
             yw = yn - wny * jnp.floor(yn * (1.0 / wny))
-            xo_ref[0, 0] = jnp.where(xw >= wnx, xw - wnx, xw)
-            yo_ref[0, 0] = jnp.where(yw >= wny, yw - wny, yw)
+            x_out = jnp.where(xw >= wnx, xw - wnx, xw)
+            y_out = jnp.where(yw >= wny, yw - wny, yw)
         else:
-            xo_ref[0, 0] = xn
-            yo_ref[0, 0] = yn
-        pxo_ref[0, 0] = pxn
-        pyo_ref[0, 0] = pyn
-        pzo_ref[0, 0] = pzn
+            x_out = xn
+            y_out = yn
 
         # Esirkepov currents (from the UNwrapped move relative to the
         # centered old position, so ds is the true displacement)
@@ -278,7 +328,6 @@ def _kernel(
             s1y = _shape_vals(eta + (yn - y) - cy, order)
         dsx = s1x - sx_i
         dsy = s1y - sy_i
-        qw = q * w_ref[0, 0]  # [1, KC]
 
         by1 = (sy_i + 0.5 * dsy) * (qw * (-1.0 / (dt * dy)))
         bx1 = sx_i + 0.5 * dsx
@@ -308,21 +357,13 @@ def _kernel(
             dep = jnp.zeros((lhs.shape[0], rhs.shape[0]), jnp.float32)
         else:
             dep = _dot_ss(lhs, rhs)  # [4*nyg, 3*nxg]
-        jx_ref[0] += dep[0:nyg, 0:nxg]
-        jy_ref[0] += dep[nyg : 2 * nyg, nxg : 2 * nxg]
-        jz_ref[0] += (
+        jx = dep[0:nyg, 0:nxg]
+        jy = dep[nyg : 2 * nyg, nxg : 2 * nxg]
+        jz = (
             dep[2 * nyg : 3 * nyg, nxg : 2 * nxg]
             + dep[3 * nyg : 4 * nyg, 2 * nxg : 3 * nxg]
         )
-
-    @pl.when(k * kc >= counts_ref[t])
-    def _skip():
-        # Fully-dead chunk: state passes through untouched.
-        xo_ref[0, 0] = x
-        yo_ref[0, 0] = y
-        pxo_ref[0, 0] = px
-        pyo_ref[0, 0] = py
-        pzo_ref[0, 0] = pz
+        return x_out, y_out, pxn, pyn, pzn, jx, jy, jz
 
 
 def fused_push_deposit(
@@ -338,6 +379,7 @@ def fused_push_deposit(
     gather_precision: str = "exact",
     wrap: Tuple[int, int] | None = None,
     grid: Tuple[int, int] | None = None,
+    body_sub: int = 0,
     ablate: str = "",
     vma_axes=(),
 ):
@@ -374,11 +416,20 @@ def fused_push_deposit(
     fb_w = {"fast": 2, "f32x3": 6}.get(gather_precision, 12) * nxg
     fbspec = pl.BlockSpec((1, 6 * nyg, fb_w), lambda i, k, *_: (i, 0, 0), memory_space=pltpu.VMEM)
 
+    if body_sub <= 0:
+        # Measured: sub-splitting the body does NOT beat the monolithic
+        # whole-bucket body (Mosaic already interleaves the internally
+        # tiled big ops); kept as an experiment knob.
+        body_sub = 1
+    if kc % body_sub or (kc // body_sub) % 128:
+        body_sub = 1
+
     kernel = functools.partial(
         _kernel,
         nxt=tile_nx, nyt=tile_ny, g=g, order=order,
         qm=qm, q=q, dt=dt, dx=dx, dy=dy, kc=kc,
         fused_gather=fused_gather, wrap=wrap, grid=grid, ablate=ablate,
+        body_sub=body_sub,
         gather_mode=gather_precision,
         # The split (non-fused) path has no word-stacked layout; Mosaic
         # supports only DEFAULT/HIGHEST there.

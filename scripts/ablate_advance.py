@@ -40,6 +40,7 @@ def main():
     ap.add_argument("--particles", type=float, default=1e8)
     ap.add_argument("--grid", type=int, default=512)
     ap.add_argument("--kchunk", type=int, default=4096)
+    ap.add_argument("--bodysub", type=int, default=0)
     args = ap.parse_args()
 
     grid = args.grid
@@ -75,7 +76,7 @@ def main():
                 dt=deck.dt, dx=deck.dx, dy=deck.dy,
                 kc=(p.capacity if deck.kchunk <= 0 else deck.kchunk),
                 wrap=(deck.nx, deck.ny), grid=(deck.nx, deck.ny),
-                gather_precision=gather, ablate=ablate,
+                gather_precision=gather, ablate=ablate, body_sub=args.bodysub,
             )
         return timeit(jax.jit(f), p, ftiles)
 

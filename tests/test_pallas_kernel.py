@@ -90,3 +90,37 @@ def test_pallas_full_step_two_stream():
         np.asarray(dp.kinetic_energy), np.asarray(dxg.kinetic_energy), rtol=1e-5
     )
     assert int(dp.overflow) == 0
+
+
+def test_body_sub_split_matches_single():
+    """body_sub=2 (sub-chunked whole-bucket body, MXU/VPU overlap) is
+    numerically identical to the unsplit body."""
+    from minipic_tpu.ops.pallas.ppd_kernel import fused_push_deposit
+
+    deck, tiling, p, ftiles = _fixture(order=1, guard=4, kchunk=0)
+    cap = p.capacity
+    if cap % 256:  # pad bucket to a 256 multiple for the split
+        import jax.numpy as jnp
+        pad = 256 - cap % 256
+        p = type(p)(*(jnp.pad(a, ((0, 0), (0, pad))) for a in p))
+        cap = p.capacity
+    counts = jnp.max(
+        (jnp.arange(cap, dtype=jnp.int32)[None, :] + 1)
+        * (p.w > 0).astype(jnp.int32), axis=1)
+    kw = dict(
+        qm=-1.0, q=-1.0, order=1, tile_ny=tiling.tile_ny,
+        tile_nx=tiling.tile_nx, g=deck.guard, dt=deck.dt, dx=deck.dx,
+        dy=deck.dy, kc=cap, wrap=(deck.nx, deck.ny),
+        grid=(deck.nx, deck.ny), interpret=True,
+    )
+    p1, (jx1, jy1, jz1) = fused_push_deposit(
+        p, ftiles, counts, _tile_origins(tiling, jnp.float32),
+        body_sub=1, **kw)
+    p2, (jx2, jy2, jz2) = fused_push_deposit(
+        p, ftiles, counts, _tile_origins(tiling, jnp.float32),
+        body_sub=2, **kw)
+    for a, b in zip(tuple(p1), tuple(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in ((jx1, jx2), (jy1, jy2), (jz1, jz2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-6)
