@@ -180,34 +180,46 @@ def main(argv=None):
     save(0)
     print(f"deck={args.deck} grid={deck.ny}x{deck.nx} dt={deck.dt:.6g} steps={n_steps}", flush=True)
     prof_until = 0
+    prof_active = False
     if args.profile:
         import jax
 
         prof_until = min(20, n_steps)
-        jax.profiler.start_trace(args.profile)
-    for i in range(1, n_steps + 1):
-        diag = sim.step()
-        if i == prof_until:
+        if prof_until > 0:
+            jax.profiler.start_trace(args.profile)
+            prof_active = True
+    try:
+        for i in range(1, n_steps + 1):
+            diag = sim.step()
+            if i == prof_until and prof_active:
+                import jax
+
+                jax.profiler.stop_trace()
+                prof_active = False
+                print(f"profiler trace (steps 1..{i}) written to {args.profile}", flush=True)
+            # Adaptive capacity (grow on overflow, shrink after calm) and
+            # history both materialize device scalars — keep them on the
+            # diag cadence so the hot loop stays async-dispatch only.
+            on_cadence = i % args.diag_every == 0 or i == n_steps
+            if on_cadence:
+                hist.record(i, deck.dt, diag)
+                ovf = int(diag.overflow)
+                if hasattr(sim, "ensure_capacity") and (ovf > 0 or i % 50 < args.diag_every):
+                    sim.ensure_capacity(ovf)
+            if i % save_every == 0:
+                save(i)
+                sps = hist.steps_per_sec()
+                print(
+                    f"step {i}/{n_steps}  E_field={hist.field_energy[-1]:.4e}  "
+                    f"E_total={hist.total_energy()[-1]:.6e}  drift={hist.energy_drift():.2e}  "
+                    f"ovf={hist.overflow[-1]}  {sps and f'{sps:.1f} steps/s' or ''}",
+                    flush=True,
+                )
+    finally:
+        if prof_active:
             import jax
 
             jax.profiler.stop_trace()
-            print(f"profiler trace (steps 1..{i}) written to {args.profile}", flush=True)
-        # Adaptive capacity: grow on overflow, shrink after calm spells
-        # (reference C7's migration pressure, answered by re-bucketing).
-        ovf = int(diag.overflow)
-        if hasattr(sim, "ensure_capacity") and (ovf > 0 or i % 50 == 0):
-            sim.ensure_capacity(ovf)
-        if i % args.diag_every == 0 or i == n_steps:
-            hist.record(i, deck.dt, diag)
-        if i % save_every == 0:
-            save(i)
-            sps = hist.steps_per_sec()
-            print(
-                f"step {i}/{n_steps}  E_field={hist.field_energy[-1]:.4e}  "
-                f"E_total={hist.total_energy()[-1]:.6e}  drift={hist.energy_drift():.2e}  "
-                f"ovf={hist.overflow[-1]}  {sps and f'{sps:.1f} steps/s' or ''}",
-                flush=True,
-            )
 
     if writer is not None:
         errs = writer.flush()

@@ -209,10 +209,14 @@ class Deck:
 
     def mover_cap(self, capacity: int) -> int:
         """Outgoing/incoming mover buffer slots per tile.  Auto mode derives
-        the size from the deck's expected mover fraction (x4 safety for
-        bursts and local crowding) instead of a hand-tuned knob; an
-        underestimate is lossless — rebin_auto falls back to the full
-        defragmenting sort — so the safety factor trades only performance.
+        the size from the deck's expected mover fraction instead of a
+        hand-tuned knob.  Underestimate semantics (rebin_auto): an
+        *outgoing* overflow defers the tile losslessly (all-or-nothing
+        extraction; drained next step, forced with counted drops only past
+        the hard drift line); an *incoming* overflow — arrivals from up to
+        8 neighbors converging on one tile beyond this buffer — is dropped
+        and counted in the overflow diag.  Size generously for strongly
+        convergent flows (or set mover_capacity explicitly).
         Returns 0 when the bucket is too small for the incremental path."""
         room = ((capacity - 256) // 128) * 128
         if room < 128:
@@ -230,14 +234,6 @@ class Deck:
         )
         return min(base, room)
 
-    def prefers_incremental(self) -> bool:
-        """Whether the incremental (movers-only) re-bin path can actually
-        absorb a re-bin's inflow, or the full defragmenting sort is the
-        better plan.  The append stage needs wm + 2*n_in <= capacity, i.e.
-        roughly 2*mover_fraction <= headroom - 1; when the expected inflow
-        exceeds that, the incremental attempt would fall back to the full
-        sort every time (lossless but ~2x slower than sorting directly)."""
-        return 2.0 * self.expected_mover_fraction() <= self.capacity_headroom - 1.0
     # Per-direction cross-shard particle exchange buffer capacity (slots);
     # None -> auto from tile capacity.  Only the shard-boundary tiles feed
     # these, so a fraction of one tile's capacity suffices.

@@ -69,7 +69,7 @@ def particles_from_snapshot(step: int, folder: str, deck: Deck) -> Tuple[Particl
         row = np.floor(d["y"] / tiling.tile_ny).astype(np.int64)
         tid = row * tiling.tile_cols + col
         dens = int(np.bincount(tid, minlength=tiling.num_tiles).max()) if n else 0
-        q = max(1, deck.kchunk)
+        q = deck.kchunk if deck.kchunk > 0 else 128
         cap = max(deck.capacity(), -(-dens // q) * q)
         pool = tiling.num_tiles * cap
         flat = ParticleState(

@@ -308,11 +308,16 @@ def _sub_chunk(
 
         if wrap is not None:
             # Fold the periodic boundary into the kernel's position store
-            # (saves a full read+write pass over the particle arrays).  The
-            # f32 mod gotcha (binning.wrap_positions) applies here too.
+            # (saves a full read+write pass over the particle arrays).
+            # f32 gotchas (binning.wrap_positions): floor(x * (1/n)) can
+            # round either way at the box edge, so clamp BOTH edges — an
+            # unclamped negative comes back as an off-grid position that
+            # re-binning would silently drop.
             wnx, wny = wrap
             xw = xn - wnx * jnp.floor(xn * (1.0 / wnx))
             yw = yn - wny * jnp.floor(yn * (1.0 / wny))
+            xw = jnp.where(xw < 0, xw + wnx, xw)
+            yw = jnp.where(yw < 0, yw + wny, yw)
             x_out = jnp.where(xw >= wnx, xw - wnx, xw)
             y_out = jnp.where(yw >= wny, yw - wny, yw)
         else:

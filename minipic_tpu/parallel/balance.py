@@ -77,9 +77,22 @@ def with_capacity(p: ParticleState, new_cap: int, tiling=None) -> ParticleState:
         return ParticleState(*(grow(a) for a in p))
     if tiling is None:
         raise ValueError("shrinking requires the tiling (to re-bin at the new capacity)")
-    from ..particles.binning import rebin_flat, tile_counts
+    from ..particles.binning import rebin_flat
 
-    max_live = int(tile_counts(p).max())
+    # The fit check must use the POSITIONAL census (which tile each
+    # particle belongs to now), not bucket occupancy: between re-bins a
+    # drifted particle sits in a stale bucket, and rebin_flat sorts by
+    # position — a bucket-count check would pass while the destination
+    # tile overflows.  Host-side numpy; this runs outside jit.
+    xs = np.asarray(p.x).ravel()
+    ys = np.asarray(p.y).ravel()
+    alive = np.asarray(p.w).ravel() > 0
+    col = np.floor(xs[alive] / tiling.tile_nx).astype(np.int64)
+    row = np.floor(ys[alive] / tiling.tile_ny).astype(np.int64)
+    tid = np.clip(row, 0, tiling.tile_rows - 1) * tiling.tile_cols + np.clip(
+        col, 0, tiling.tile_cols - 1
+    )
+    max_live = int(np.bincount(tid, minlength=tiling.num_tiles).max()) if tid.size else 0
     if max_live > new_cap:
         raise ValueError(f"cannot shrink to {new_cap}: a tile holds {max_live} live particles")
     flat = jax.tree_util.tree_map(lambda a: a.reshape(p.num_tiles * cap), p)
@@ -91,7 +104,8 @@ def with_capacity(p: ParticleState, new_cap: int, tiling=None) -> ParticleState:
         tile_ny=tiling.tile_ny,
         capacity=new_cap,
     )
-    assert int(ovf) == 0, "shrink overflow despite census check"
+    if int(ovf) != 0:
+        raise RuntimeError("shrink overflow despite positional census check")
     return out
 
 

@@ -62,12 +62,18 @@ def build_sharded_step(deck: Deck, mesh: Mesh):
     if deck.species and rows * cols > 1:
         # Cross-shard routing reaches mesh neighbors only (one hop per
         # re-bin); drift between re-bins must stay within one shard block.
-        max_drift = deck.rebin_interval * deck.dt / min(deck.dx, deck.dy)
+        # Under the drift trigger the bound is the measured-drift force
+        # line (<= guard cells, always < a shard block); the light-speed
+        # interval bound applies only to the interval schedule.
+        if deck.uses_drift_trigger():
+            max_drift = deck.force_threshold() + deck.cfl_step_cells()
+        else:
+            max_drift = deck.rebin_interval * deck.dt / min(deck.dx, deck.dy)
         if max_drift > min(nx_l, ny_l):
             raise ValueError(
-                f"rebin_interval={deck.rebin_interval} allows "
-                f"{max_drift:.1f} cells of drift but the shard block is "
-                f"only {ny_l}x{nx_l} — particles could skip a shard"
+                f"re-bin schedule allows {max_drift:.1f} cells of drift "
+                f"but the shard block is only {ny_l}x{nx_l} — particles "
+                "could skip a shard"
             )
     backend, interpret = resolve_backend(deck)
     use_incremental = (

@@ -154,13 +154,15 @@ def rebin_incremental(
     *,
     interpret: bool = False,
 ) -> Tuple[ParticleState, jax.Array, jax.Array]:
-    """Movers-only re-binning (single device), unconditional.
+    """Movers-only re-binning (single device), unconditional: every tile
+    extracts (force=True — buffer overflow drops and counts rather than
+    deferring, preserving this helper's documented 'dropped' semantics).
 
     Extracts particles that left their bucket's tile (Pallas compaction
     kernel), routes just those through the filler-key sort, and appends
     them at each destination bucket's watermark.  Cost scales with the
     mover fraction instead of total slots.  Buckets develop interior holes;
-    prefer rebin_auto, which adds the lossless full-sort fallback.
+    prefer rebin_auto, which adds deferral and the merge-defrag path.
 
     Returns (p2, dropped, max_watermark_after).
     """
@@ -185,6 +187,7 @@ def _extract_and_route(p, tiling, mover_cap, interpret):
         tile_cols=tiling.tile_cols,
         tile_ny=tiling.tile_ny,
         tile_nx=tiling.tile_nx,
+        force=True,
         b_cap=mover_cap,
         interpret=interpret,
     )

@@ -429,14 +429,23 @@ class Simulation:
             new_cap = mgr.plan(census(p), overflow)
             if new_cap is None:
                 continue
-            q = max(1, self.deck.kchunk)
+            # Same alignment rule as __init__: kchunk multiple, or 128
+            # lanes for whole-bucket mode (the re-bin kernels slice in
+            # 128-lane blocks and reject unaligned capacities).
+            q = self.deck.kchunk if self.deck.kchunk > 0 else 128
             cap = -(-new_cap // q) * q
             if cap > p.capacity:
                 species[i] = with_capacity(p, cap)
                 changed = True
             elif cap < p.capacity:
-                species[i] = with_capacity(p, cap, self.deck.tiling)
-                changed = True
+                try:
+                    species[i] = with_capacity(p, cap, self.deck.tiling)
+                    changed = True
+                except ValueError:
+                    # The positional census (drifted particles in stale
+                    # buckets) does not fit the smaller buckets yet —
+                    # defer the shrink to a later calm check.
+                    pass
         if changed:
             self.state = self.state._replace(species=tuple(species))
         return changed
