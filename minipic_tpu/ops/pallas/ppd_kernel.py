@@ -87,7 +87,7 @@ def _kernel(
     x_ref, y_ref, px_ref, py_ref, pz_ref, w_ref = refs[:6]
     f_refs = refs[6 : 6 + nf]
     xo_ref, yo_ref, pxo_ref, pyo_ref, pzo_ref = refs[6 + nf : 11 + nf]
-    jx_ref, jy_ref, jz_ref = refs[11 + nf : 14 + nf]
+    jx_ref, jy_ref, jz_ref, dmax_ref = refs[11 + nf : 15 + nf]
     t = pl.program_id(0)
     k = pl.program_id(1)
 
@@ -96,6 +96,7 @@ def _kernel(
         jx_ref[...] = jnp.zeros(jx_ref.shape, jx_ref.dtype)
         jy_ref[...] = jnp.zeros(jy_ref.shape, jy_ref.dtype)
         jz_ref[...] = jnp.zeros(jz_ref.shape, jz_ref.dtype)
+        dmax_ref[...] = jnp.zeros(dmax_ref.shape, dmax_ref.dtype)
 
     nxg = nxt + 2 * g
     nyg = nyt + 2 * g
@@ -116,6 +117,7 @@ def _kernel(
         w = kc // body_sub
         outs = []
         j_acc = None
+        dmax = jnp.zeros((1, 128), jnp.float32)
         for s in range(body_sub):
             o = _sub_chunk(
                 x[:, s * w : (s + 1) * w], y[:, s * w : (s + 1) * w],
@@ -127,9 +129,10 @@ def _kernel(
                 gather_mode=gather_mode, gather_prec=gather_prec, abl=abl,
             )
             outs.append(o[:5])
-            j_acc = o[5:] if j_acc is None else tuple(
-                a + b for a, b in zip(j_acc, o[5:])
+            j_acc = o[5:8] if j_acc is None else tuple(
+                a + b for a, b in zip(j_acc, o[5:8])
             )
+            dmax = jnp.maximum(dmax, o[8])
 
         for ref, parts in zip((xo_ref, yo_ref, pxo_ref, pyo_ref, pzo_ref),
                               zip(*outs)):
@@ -138,6 +141,7 @@ def _kernel(
         jx_ref[0] += j_acc[0]
         jy_ref[0] += j_acc[1]
         jz_ref[0] += j_acc[2]
+        dmax_ref[0, 0] = jnp.maximum(dmax_ref[0, 0], dmax.reshape(128))
 
     @pl.when(k * kc >= counts_ref[t])
     def _skip():
@@ -368,7 +372,17 @@ def _sub_chunk(
             dep[2 * nyg : 3 * nyg, nxg : 2 * nxg]
             + dep[3 * nyg : 4 * nyg, 2 * nxg : 3 * nxg]
         )
-        return x_out, y_out, pxn, pyn, pzn, jx, jy, jz
+
+        # Max per-axis displacement (cells) over alive particles, folded
+        # to one 128-lane vector — feeds the drift-triggered re-bin at no
+        # HBM cost (the XLA fallback re-reads the momenta:
+        # simulation.max_step_displacement).
+        d = jnp.maximum(jnp.abs(xn - x), jnp.abs(yn - y))
+        d = jnp.where(qw != 0, d, 0.0)
+        d128 = jnp.zeros((1, 128), jnp.float32)
+        for c in range(kc // 128):
+            d128 = jnp.maximum(d128, d[:, c * 128 : (c + 1) * 128])
+        return x_out, y_out, pxn, pyn, pzn, jx, jy, jz, d128
 
 
 def fused_push_deposit(
@@ -385,6 +399,7 @@ def fused_push_deposit(
     wrap: Tuple[int, int] | None = None,
     grid: Tuple[int, int] | None = None,
     body_sub: int = 0,
+    return_disp: bool = False,
     ablate: str = "",
     vma_axes=(),
 ):
@@ -448,7 +463,9 @@ def fused_push_deposit(
         num_scalar_prefetch=3,  # counts, ox, oy
         grid=(t_total, cap // kc),
         in_specs=[pspec] * 6 + ([fbspec] if fused_gather else [f3spec] * 2),
-        out_specs=[pspec] * 5 + [fspec] * 3,
+        out_specs=[pspec] * 5 + [fspec] * 3
+        + [pl.BlockSpec((1, 1, 128), lambda i, k, *_: (i, 0, 0),
+                        memory_space=pltpu.VMEM)],
     )
 
     # Inside shard_map (check_vma), outputs must declare their varying axes.
@@ -456,7 +473,8 @@ def fused_push_deposit(
     def sds(shape):
         return (jax.ShapeDtypeStruct(shape, dtype, vma=vma) if vma
                 else jax.ShapeDtypeStruct(shape, dtype))
-    out_shape = [sds((t_total, nc, 1, kc))] * 5 + [sds((t_total, nyg, nxg))] * 3
+    out_shape = ([sds((t_total, nc, 1, kc))] * 5 + [sds((t_total, nyg, nxg))] * 3
+                 + [sds((t_total, 1, 128))])
 
     flops_per_part = (6 + 4) * nxg * nyg * 2 + 300
     cost = pl.CostEstimate(
@@ -509,9 +527,14 @@ def fused_push_deposit(
         *f_args,
     )
     xn, yn, pxn, pyn, pzn = (a.reshape(t_total, cap) for a in outs[:5])
-    jx, jy, jz = outs[5:]
+    jx, jy, jz, dmax = outs[5], outs[6], outs[7], outs[8]
     # Esirkepov grid-axis prefix sums, deferred out of the kernel (exact
     # f32 adds over the tiny J stacks; see the deposition comment above).
     jx = jnp.cumsum(jx, axis=-1)
     jy = jnp.cumsum(jy, axis=-2)
-    return ParticleState(xn, yn, pxn, pyn, pzn, p.w), (jx, jy, jz)
+    p_out = ParticleState(xn, yn, pxn, pyn, pzn, p.w)
+    if return_disp:
+        # Max per-axis displacement this step (cells), max-folded over
+        # the kernel's 128-lane accumulators.
+        return p_out, (jx, jy, jz), jnp.max(dmax)
+    return p_out, (jx, jy, jz)

@@ -115,8 +115,9 @@ def build_sharded_step(deck: Deck, mesh: Mesh):
         # path (positions are global, so the mod is shard-agnostic).
         kernel_wrap = (deck.nx, deck.ny) if (periodic and backend == "pallas") else None
         center_grid = (deck.nx, deck.ny) if periodic else None
+        disps = []
         for spec, p in zip(deck.species, species):
-            pnew, (sjx, sjy, sjz) = advance_species_tiles(
+            adv = advance_species_tiles(
                 p,
                 ftiles,
                 qm=spec.charge / spec.mass,
@@ -136,7 +137,13 @@ def build_sharded_step(deck: Deck, mesh: Mesh):
                 gather_precision=deck.gather_precision,
                 wrap=kernel_wrap,
                 grid=center_grid,
+                return_disp=trigger_drift,
             )
+            if trigger_drift:
+                pnew, (sjx, sjy, sjz), sdisp = adv
+                disps.append(sdisp)
+            else:
+                pnew, (sjx, sjy, sjz) = adv
             jx = sjx if jx is None else jx + sjx
             jy = sjy if jy is None else jy + sjy
             jz = sjz if jz is None else jz + sjz
@@ -171,15 +178,15 @@ def build_sharded_step(deck: Deck, mesh: Mesh):
         fe = lax.psum(field_energy(fnew, dx, dy), ("ry", "rx"))
 
         # --- 5. wrap, route across shards, re-bin ---
-        from ..simulation import max_step_displacement
-
         pending_total = jnp.zeros((), jnp.int32)
 
         if trigger_drift:
             # Mesh-agreed measured drift so every shard takes the same
             # re-bin branch (the branches contain collectives).
+            import functools as _ft
+
             disp = lax.pmax(
-                max_step_displacement(new_species, dt, dx, dy), ("ry", "rx")
+                _ft.reduce(jnp.maximum, disps), ("ry", "rx")
             )
             drift_now = drift + disp
             do_rebin_pred = drift_now > deck.drift_threshold()

@@ -100,6 +100,7 @@ def advance_species_tiles(
     gather_precision: str = "exact",
     wrap: Optional[Tuple[int, int]] = None,
     grid: Optional[Tuple[int, int]] = None,
+    return_disp: bool = False,
 ) -> Tuple[ParticleState, Tuple[jax.Array, jax.Array, jax.Array]]:
     """Gather + push + move + deposit for one species over its tile
     buffers, scanned in slot chunks.  Returns the pushed particles
@@ -129,7 +130,8 @@ def advance_species_tiles(
         kwargs = dict(
             qm=qm, q=q, order=order, tile_ny=nyt, tile_nx=nxt, g=g,
             dt=dt, dx=dx, dy=dy, kc=kc, gather_precision=gather_precision,
-            wrap=wrap, grid=grid, vma_axes=vma_axes,
+            wrap=wrap, grid=grid, return_disp=return_disp,
+            vma_axes=vma_axes,
         )
         if interpret:
             kwargs["interpret"] = True
@@ -170,7 +172,10 @@ def advance_species_tiles(
     def unchunk(a):  # [nc, T, kc] -> [T, cap]
         return a.transpose(1, 0, 2).reshape(t_total, cap)
 
-    return jax.tree_util.tree_map(unchunk, ys), (jx, jy, jz)
+    p_out = jax.tree_util.tree_map(unchunk, ys)
+    if return_disp:
+        return p_out, (jx, jy, jz), max_step_displacement([p_out], dt, dx, dy)
+    return p_out, (jx, jy, jz)
 
 
 def tile_local_coords(x, y, origins, tile_nx: int, tile_ny: int,
@@ -245,8 +250,10 @@ def build_step(deck: Deck):
         # and absorbing boundaries wrap/absorb below.
         kernel_wrap = (deck.nx, deck.ny) if (periodic and backend == "pallas") else None
         center_grid = (deck.nx, deck.ny) if periodic else None
+        trigger_drift = bool(deck.species) and deck.uses_drift_trigger()
+        disps = []
         for spec, p in zip(deck.species, state.species):
-            pnew, (sjx, sjy, sjz) = advance_species_tiles(
+            adv = advance_species_tiles(
                 p,
                 ftiles,
                 qm=spec.charge / spec.mass,
@@ -265,7 +272,13 @@ def build_step(deck: Deck):
                 gather_precision=deck.gather_precision,
                 wrap=kernel_wrap,
                 grid=center_grid,
+                return_disp=trigger_drift,
             )
+            if trigger_drift:
+                pnew, (sjx, sjy, sjz), sdisp = adv
+                disps.append(sdisp)
+            else:
+                pnew, (sjx, sjy, sjz) = adv
             jx = sjx if jx is None else jx + sjx
             jy = sjy if jy is None else jy + sjy
             jz = sjz if jz is None else jz + sjz
@@ -294,7 +307,6 @@ def build_step(deck: Deck):
             deck.rebin_mode == "incremental"
             or (deck.rebin_mode == "auto" and backend == "pallas")
         )
-        trigger_drift = bool(deck.species) and deck.uses_drift_trigger()
 
         if trigger_drift:
             if state.drift is None:
@@ -302,7 +314,7 @@ def build_step(deck: Deck):
                     "deck uses drift-triggered re-binning but SimState.drift "
                     "is unset — initialize it to 0.0 (Simulation does)"
                 )
-            disp = max_step_displacement(new_species, dt, dx, dy)
+            disp = functools.reduce(jnp.maximum, disps)
             drift_now = state.drift + disp
             do_rebin_pred = drift_now > deck.drift_threshold()
             # Beyond this line a deferred re-bin may no longer wait:

@@ -124,3 +124,24 @@ def test_body_sub_split_matches_single():
     for a, b in ((jx1, jx2), (jy1, jy2), (jz1, jz2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=0, atol=1e-6)
+
+
+def test_kernel_disp_matches_momentum_bound():
+    """The kernel's in-VMEM displacement watermark equals the momentum-
+    derived max displacement (simulation.max_step_displacement)."""
+    from minipic_tpu.ops.pallas.ppd_kernel import fused_push_deposit
+    from minipic_tpu.simulation import max_step_displacement
+
+    deck, tiling, p, ftiles = _fixture(order=1, guard=4, kchunk=128)
+    counts = jnp.max(
+        (jnp.arange(p.capacity, dtype=jnp.int32)[None, :] + 1)
+        * (p.w > 0).astype(jnp.int32), axis=1)
+    p2, _j, disp = fused_push_deposit(
+        p, ftiles, counts, _tile_origins(tiling, jnp.float32),
+        qm=-1.0, q=-1.0, order=1, tile_ny=tiling.tile_ny,
+        tile_nx=tiling.tile_nx, g=deck.guard, dt=deck.dt, dx=deck.dx,
+        dy=deck.dy, kc=128, wrap=(deck.nx, deck.ny),
+        grid=(deck.nx, deck.ny), return_disp=True, interpret=True,
+    )
+    ref = max_step_displacement([p2], deck.dt, deck.dx, deck.dy)
+    np.testing.assert_allclose(float(disp), float(ref), rtol=1e-5)
