@@ -81,12 +81,17 @@ def _extract_kernel(
     # and reports its mover count as left_behind — the caller keeps the
     # drift budget un-reset so the next step immediately re-triggers and
     # drains the backlog.  (Partial extraction would have to decide which
-    # particles to lose; deferral loses none.)
-    def count_body(c, tot):
-        *_, moving = classify(c)
-        return tot + jnp.sum(moving.astype(jnp.int32)).astype(jnp.int32)
-
-    total_movers = jax.lax.fori_loop(0, n_chunks, count_body, jnp.int32(0))
+    # particles to lose; deferral loses none.)  Vectorized over the whole
+    # bucket row — a fori over kc-chunks serializes ~cap/kc tiny
+    # iterations whose loop overhead dominated the count.
+    xf = x_ref[0, 0, :].reshape(1, n_chunks * kc)
+    yf = y_ref[0, 0, :].reshape(1, n_chunks * kc)
+    wf = w_ref[0, 0, :].reshape(1, n_chunks * kc)
+    mov_all = (wf > 0) & (
+        (jnp.floor(xf * (1.0 / tile_nx)) != my_col)
+        | (jnp.floor(yf * (1.0 / tile_ny)) != my_row)
+    )
+    total_movers = jnp.sum(mov_all.astype(jnp.int32)).astype(jnp.int32)
     # Flushes are whole-kc blocks, so the usable buffer is floor(b/kc)*kc.
     fits_tile = total_movers <= (b_cap // kc) * kc
     # force != 0: extract anyway, dropping the overflow (the caller's
@@ -281,6 +286,252 @@ def extract_movers(
         w=mov[:, 5],
     )
     return p._replace(w=wo.reshape(t_total, cap)), movers, wm, dropped
+
+
+def _split_kernel(
+    origin_ref,  # scalar-prefetch [3]: (row0, col0, force)
+    x_ref, y_ref, px_ref, py_ref, pz_ref, w_ref,  # in: [1, 1, K] (aliased)
+    xo_ref, yo_ref, pxo_ref, pyo_ref, pzo_ref, wo_ref,  # out: [1, 1, K]
+    mov_ref,  # out: [1, N_CH, B] outgoing buffer (channel-major)
+    *,
+    tile_nx: int, tile_ny: int, tile_cols: int, tile_rows: int,
+    kc: int, n_chunks: int, b_cap: int, cap: int,
+):
+    """Stable split of one bucket in a single streaming pass: stayers
+    compacted live-first IN PLACE (via aliasing), movers compacted into
+    the outgoing buffer.  Supersedes running extract (movers) and defrag
+    (hole compaction) as separate passes: the bucket never accumulates
+    watermark holes, so the append stage always finds wm == live count
+    and the steady state needs no defrag at all.
+
+    All-or-nothing per tile like _extract_kernel: a tile whose movers
+    exceed the buffer passes through untouched (pending counted) unless
+    forced.  Stats in mov_ref channel 6: lane 0 = stay count (the new
+    watermark), lane 1 = pending/dropped."""
+    t = pl.program_id(0)
+    my_col = (origin_ref[1] + t % tile_cols).astype(jnp.float32)
+    my_row = (origin_ref[0] + t // tile_cols).astype(jnp.float32)
+
+    mov_ref[...] = jnp.zeros(mov_ref.shape, mov_ref.dtype)
+    tri = _upper_tri(kc)
+    out_row = jax.lax.broadcasted_iota(jnp.int32, (kc, kc), 0)
+    rank_prec = (jax.lax.Precision.DEFAULT if kc <= 256
+                 else jax.lax.Precision.HIGHEST)
+    outs = (xo_ref, yo_ref, pxo_ref, pyo_ref, pzo_ref, wo_ref)
+    ins = (x_ref, y_ref, px_ref, py_ref, pz_ref, w_ref)
+
+    # Vectorized preflight (see _extract_kernel).
+    xf = x_ref[0, 0, :].reshape(1, n_chunks * kc)
+    yf = y_ref[0, 0, :].reshape(1, n_chunks * kc)
+    wf = w_ref[0, 0, :].reshape(1, n_chunks * kc)
+    mov_all = (wf > 0) & (
+        (jnp.floor(xf * (1.0 / tile_nx)) != my_col)
+        | (jnp.floor(yf * (1.0 / tile_ny)) != my_row)
+    )
+    total_movers = jnp.sum(mov_all.astype(jnp.int32)).astype(jnp.int32)
+    fits_tile = total_movers <= (b_cap // kc) * kc
+    forced = origin_ref[2] != 0
+    extract_tile = fits_tile | forced
+
+    def scoped(pend_s_ref, pend_m_ref):
+        pend_s_ref[...] = jnp.zeros(pend_s_ref.shape, pend_s_ref.dtype)
+        pend_m_ref[...] = jnp.zeros(pend_m_ref.shape, pend_m_ref.dtype)
+
+        def compact(mask, payload, pend_ref, n_rows):
+            """Rank+permute one chunk's masked slots into the pend buffer.
+            Returns this chunk's masked count."""
+            mf = mask.astype(jnp.float32)
+            rank = jax.lax.dot_general(
+                mf, tri, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=rank_prec,
+            )
+            cnt = rank[0, kc - 1].astype(jnp.int32)
+            p_mat = ((rank - 1.0) == out_row.astype(jnp.float32)) & mask
+            comp = jax.lax.dot_general(
+                payload, p_mat.astype(jnp.float32),
+                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            cpad = jnp.concatenate(
+                [comp, jnp.zeros((n_rows, kc), jnp.float32)], axis=1
+            )
+            return cnt, cpad
+
+        def body(c, carry):
+            s_cur, s_pc, m_cur, m_pc, dropped = carry
+            sl = pl.ds(c * kc, kc)
+            rows6 = [r[0, 0, sl].reshape(1, kc) for r in ins]
+            xc, yc, wc = rows6[0], rows6[1], rows6[5]
+            alive = wc > 0
+            moving = alive & (
+                (jnp.floor(xc * (1.0 / tile_nx)) != my_col)
+                | (jnp.floor(yc * (1.0 / tile_ny)) != my_row)
+            ) & extract_tile
+            staying = alive & ~moving
+            payload6 = jnp.concatenate(rows6, axis=0)  # [6, kc]
+
+            # stayers -> in-place compaction (cursor <= read point)
+            s_cnt, s_cpad = compact(staying, payload6, pend_s_ref, 6)
+            pend_s_ref[...] += pltpu.roll(s_cpad, s_pc, 1)
+            s_pc = s_pc + s_cnt
+
+            @pl.when(s_pc >= kc)
+            def _flush_s():
+                slw = pl.ds(pl.multiple_of(s_cur, kc), kc)
+                for i, o in enumerate(outs):
+                    o[0, 0, slw] = pend_s_ref[i, :kc]
+                shifted = pltpu.roll(pend_s_ref[...], kc, 1)
+                ztail = jax.lax.broadcasted_iota(jnp.int32, (6, 2 * kc), 1) < kc
+                pend_s_ref[...] = jnp.where(ztail, shifted, 0.0)
+
+            s_flush = s_pc >= kc
+            s_cur = s_cur + jnp.where(s_flush, kc, 0)
+            s_pc = jnp.where(s_flush, s_pc - kc, s_pc)
+
+            # movers -> outgoing buffer (N_CH channels; 6,7 spare/stats)
+            payload8 = jnp.concatenate(
+                [payload6 * jnp.where(moving, 1.0, 0.0),
+                 jnp.zeros((2, kc), jnp.float32)], axis=0
+            )
+            m_cnt, m_cpad = compact(moving, payload8, pend_m_ref, N_CH)
+            pend_m_ref[...] += pltpu.roll(m_cpad, m_pc, 1)
+            m_pc = m_pc + m_cnt
+
+            @pl.when(m_pc >= kc)
+            def _flush_m():
+                fits = m_cur + kc <= b_cap
+
+                @pl.when(fits)
+                def _w():
+                    mov_ref[0, :, pl.ds(pl.multiple_of(m_cur, kc), kc)] = (
+                        pend_m_ref[:, :kc]
+                    )
+
+                shifted = pltpu.roll(pend_m_ref[...], kc, 1)
+                ztail = jax.lax.broadcasted_iota(jnp.int32, (N_CH, 2 * kc), 1) < kc
+                pend_m_ref[...] = jnp.where(ztail, shifted, 0.0)
+
+            m_flush = m_pc >= kc
+            over = m_flush & (m_cur + kc > b_cap)
+            dropped = dropped + jnp.where(over, kc, 0)
+            m_cur = m_cur + jnp.where(m_flush & ~over, kc, 0)
+            m_pc = jnp.where(m_flush, m_pc - kc, m_pc)
+            return s_cur, s_pc, m_cur, m_pc, dropped
+
+        z = jnp.int32(0)
+        s_cur, s_pc, m_cur, m_pc, dropped = jax.lax.fori_loop(
+            0, n_chunks, body, (z, z, z, z, z)
+        )
+
+        @pl.when(s_pc > 0)
+        def _tail_s():
+            slw = pl.ds(pl.multiple_of(s_cur, kc), kc)
+            for i, o in enumerate(outs):
+                o[0, 0, slw] = pend_s_ref[i, :kc]
+
+        @pl.when((m_pc > 0) & (m_cur + kc <= b_cap))
+        def _tail_m():
+            mov_ref[0, :, pl.ds(pl.multiple_of(m_cur, kc), kc)] = pend_m_ref[:, :kc]
+
+        dropped = dropped + jnp.where((m_pc > 0) & (m_cur + kc > b_cap), m_pc, 0)
+        dropped = jnp.where(extract_tile, dropped, total_movers)
+
+        live = s_cur + s_pc
+        done_blocks = (s_cur // kc) + jnp.where(s_pc > 0, 1, 0)
+
+        def zero_body(b, _):
+            @pl.when(b >= done_blocks)
+            def _z():
+                slw = pl.ds(pl.multiple_of(b * kc, kc), kc)
+                for o in outs:
+                    o[0, 0, slw] = jnp.zeros((kc,), jnp.float32)
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, zero_body, 0)
+
+        blane = jax.lax.broadcasted_iota(jnp.int32, (b_cap,), 0)
+        stats = jnp.where(
+            blane == 0, live.astype(jnp.float32),
+            jnp.where(blane == 1, dropped.astype(jnp.float32), 0.0),
+        )
+        mov_ref[0, 6, :] = stats
+
+    pl.run_scoped(
+        scoped,
+        pltpu.VMEM((6, 2 * kc), jnp.float32),
+        pltpu.VMEM((N_CH, 2 * kc), jnp.float32),
+    )
+
+
+def split_buckets(
+    p: ParticleState, *, tile_rows: int, tile_cols: int, tile_ny: int,
+    tile_nx: int, b_cap: int, kc: int = 128, interpret: bool = False,
+    row0=0, col0=0, force=False, vma_axes=(),
+):
+    """One-pass stable split: returns (p with stayers compacted live-first
+    and zero tail, movers [T, b_cap] compacted per tile, stay counts [T]
+    i32 — the exact post-split watermark — and pending [T] i32).
+
+    Replaces extract_movers + defrag_buckets as the re-bin workhorse: the
+    bucket never develops watermark holes, so the append stage always
+    fits unless census truly exceeds capacity."""
+    t_total, cap = p.num_tiles, p.capacity
+    if cap % kc or kc > b_cap:
+        for d in (128, 256, 384, 512):
+            if cap % d == 0 and d <= b_cap:
+                kc = d
+                break
+        else:
+            kc = cap
+    if b_cap % 128:
+        raise ValueError("b_cap must be a lane multiple (128)")
+    if b_cap < kc:
+        raise ValueError("b_cap must be >= the split chunk kc")
+
+    kern = functools.partial(
+        _split_kernel,
+        tile_nx=tile_nx, tile_ny=tile_ny, tile_cols=tile_cols,
+        tile_rows=tile_rows, kc=kc, n_chunks=cap // kc, b_cap=b_cap, cap=cap,
+    )
+    pin = pl.BlockSpec((1, 1, cap), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM)
+    mspec = pl.BlockSpec((1, N_CH, b_cap), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM)
+
+    def r3(a):
+        return a.reshape(t_total, 1, cap)
+
+    origin = jnp.stack(
+        [jnp.asarray(row0, jnp.int32), jnp.asarray(col0, jnp.int32),
+         jnp.asarray(force, jnp.int32)]
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t_total,),
+        in_specs=[pin] * 6,
+        out_specs=[pin] * 6 + [mspec],
+    )
+    vma = frozenset(vma_axes) if vma_axes else None
+
+    def sds(shape, dt_):
+        return (jax.ShapeDtypeStruct(shape, dt_, vma=vma) if vma
+                else jax.ShapeDtypeStruct(shape, dt_))
+
+    outs = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[sds((t_total, 1, cap), p.x.dtype)] * 6
+        + [sds((t_total, N_CH, b_cap), jnp.float32)],
+        input_output_aliases={1: 0, 2: 1, 3: 2, 4: 3, 5: 4, 6: 5},
+        interpret=interpret,
+    )(origin, r3(p.x), r3(p.y), r3(p.px), r3(p.py), r3(p.pz), r3(p.w))
+    p2 = ParticleState(*(a.reshape(t_total, cap) for a in outs[:6]))
+    mov = outs[6]
+    counts = mov[:, 6, 0].astype(jnp.int32)
+    pending = mov[:, 6, 1].astype(jnp.int32)
+    movers = ParticleState(
+        x=mov[:, 0], y=mov[:, 1], px=mov[:, 2], py=mov[:, 3], pz=mov[:, 4],
+        w=mov[:, 5],
+    )
+    return p2, movers, counts, pending
 
 
 def _defrag_kernel(

@@ -252,10 +252,10 @@ def build_sharded_step(deck: Deck, mesh: Mesh):
                 lose nothing — the step keeps the drift budget hot and the
                 next step drains them."""
                 from ..ops.pallas.rebin_kernels import (
-                    append_incoming, defrag_buckets, extract_movers,
+                    append_incoming, defrag_buckets, split_buckets,
                 )
 
-                p1, movers, wm, pending = extract_movers(
+                p1, movers, wm, pending = split_buckets(
                     pp,
                     tile_rows=ltr,
                     tile_cols=ltc,

@@ -230,17 +230,31 @@ def rebin_auto(
     Replaces the old full-sort fallback: the 7-operand global sort put
     ~6 GB of transients in the jitted step's arena at 1e8 slots (the whole
     program peaked at 15.97/16 GB); the defrag kernel streams buckets
-    through VMEM with no HBM transients at all."""
-    from ..ops.pallas.rebin_kernels import append_incoming, defrag_buckets
+    through VMEM with no HBM transients at all.  The split kernel compacts
+    stayers in the same pass that extracts movers, so buckets never
+    accumulate watermark holes and the append path stays hot (the old
+    extract-only pass left leavers' slots as holes, forcing the
+    merge-defrag on essentially every re-bin at tight headroom)."""
+    from ..ops.pallas.rebin_kernels import (
+        append_incoming, defrag_buckets, split_buckets,
+    )
 
-    p1, movers, wm, pending = _extract_and_route_ex(
-        p, tiling, mover_cap, interpret, force
+    p1, movers, wm, pending = split_buckets(
+        p,
+        tile_rows=tiling.tile_rows,
+        tile_cols=tiling.tile_cols,
+        tile_ny=tiling.tile_ny,
+        tile_nx=tiling.tile_nx,
+        b_cap=mover_cap,
+        interpret=interpret,
+        force=force,
     )
     incoming, ovf_small = _route(movers, p, tiling, mover_cap)
     n_in = jnp.sum((incoming.w > 0).astype(jnp.int32), axis=1)
-    # The watermark append needs 128 lanes of anchor-alignment slack; when
-    # any bucket is tighter than that, the merge-defrag pass places
-    # arrivals with no slack at all (fits whenever census <= capacity).
+    # wm == live stay count (split-compacted).  The watermark append needs
+    # 128 lanes of anchor-alignment slack; when any bucket is tighter than
+    # that, the merge-defrag pass places arrivals with no slack at all
+    # (fits whenever census <= capacity).
     headroom_ok = jnp.all(wm + n_in <= p.capacity - 256)
 
     def fast(pp):
@@ -262,21 +276,6 @@ def rebin_auto(
     else:
         pending_out = pending.sum().astype(jnp.int32)
     return p2, dropped, pending_out
-
-
-def _extract_and_route_ex(p, tiling, mover_cap, interpret, force):
-    from ..ops.pallas.rebin_kernels import extract_movers
-
-    return extract_movers(
-        p,
-        tile_rows=tiling.tile_rows,
-        tile_cols=tiling.tile_cols,
-        tile_ny=tiling.tile_ny,
-        tile_nx=tiling.tile_nx,
-        b_cap=mover_cap,
-        interpret=interpret,
-        force=force,
-    )
 
 
 def _route(movers, p, tiling, mover_cap):
