@@ -47,6 +47,51 @@ def _upper_tri(n):
     return (r <= c).astype(jnp.float32)
 
 
+def _scan_compact(mask, payload, kc: int):
+    """Stable lane compaction of `payload` [R, kc] columns where `mask`
+    [1, kc] holds, via bit-serial shuffles — O(R log kc) vector ops on the
+    VPU instead of an O(kc) permutation matmul on the MXU.
+
+    NEGATIVE RESULT, kept for the record: on v5e this is ~2x SLOWER than
+    the permutation matmul inside the split kernel (bench 6.44 -> 4.67e8
+    pushes/s) — the 7-level masked-roll dependency chain serializes worse
+    than the MXU dots, which pipeline against the rest of the chunk.
+    Correct (covered by the interpret-mode split tests while it was wired
+    in) but unused on the hot path.
+
+    Destinations are the exclusive scan of the mask (monotone shifts), so
+    the classic bit-by-bit move is collision-free: at level b an element
+    moves left by 2^b iff bit b of its remaining shift is set.  Returns
+    (count, compacted payload with zeros beyond count)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, kc), 1)
+    keep = mask.astype(jnp.int32)
+
+    # Inclusive lane cumsum via Hillis-Steele (log2(kc) masked rolls).
+    inc = keep
+    d = 1
+    while d < kc:
+        rolled = pltpu.roll(inc, d, 1)  # content moves to higher lanes
+        inc = inc + jnp.where(lane >= d, rolled, 0)
+        d *= 2
+    cnt = inc[0, kc - 1]
+    excl = inc - keep
+    sh = lane - excl  # monotone non-decreasing shift-left amounts
+
+    v = payload
+    b = 1
+    while b < kc:
+        # Candidate = element 2^b lanes to the right (left-roll by b).
+        cand_v = pltpu.roll(v, kc - b, 1)
+        cand_sh = pltpu.roll(sh, kc - b, 1)
+        valid = lane < (kc - b)
+        take = ((cand_sh // b) % 2 == 1) & valid
+        v = jnp.where(take, cand_v, v)
+        sh = jnp.where(take, cand_sh - b, sh)
+        b *= 2
+    v = jnp.where(lane < cnt, v, 0.0)
+    return cnt, v
+
+
 def _extract_kernel(
     origin_ref,  # scalar-prefetch [3]: (row0, col0, force) — see below
     x_ref, y_ref, px_ref, py_ref, pz_ref, w_ref,  # in: [1, 1, K]
@@ -338,8 +383,13 @@ def _split_kernel(
         pend_m_ref[...] = jnp.zeros(pend_m_ref.shape, pend_m_ref.dtype)
 
         def compact(mask, payload, pend_ref, n_rows):
-            """Rank+permute one chunk's masked slots into the pend buffer.
-            Returns this chunk's masked count."""
+            """Rank+permute one chunk's masked slots.  Returns (count,
+            [n_rows, 2kc] zero-padded block).
+
+            Measured on v5e at 1e8 slots: the MXU permutation matmul wins
+            — swapping in _scan_compact (bit-serial lane rolls, pure VPU)
+            regressed the bench 6.44 -> 4.67e8 pushes/s; the 7-level
+            masked-roll chain per chunk serializes worse than the dots."""
             mf = mask.astype(jnp.float32)
             rank = jax.lax.dot_general(
                 mf, tri, (((1,), (0,)), ((), ())),

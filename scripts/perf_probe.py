@@ -138,16 +138,16 @@ def main():
     t_rebin = timeit(stage_rebin, pw); print(f"rebin_auto    {t_rebin*1e3:9.1f} ms", flush=True)
 
     # --- rebin sub-stages ---
-    from minipic_tpu.ops.pallas.rebin_kernels import append_incoming, extract_movers
+    from minipic_tpu.ops.pallas.rebin_kernels import append_incoming, split_buckets
     from minipic_tpu.particles.binning import rebin_flat
 
     @jax.jit
     def stage_xtract(pp):
-        return extract_movers(pp, tile_rows=tiling.tile_rows, tile_cols=tiling.tile_cols,
-                              tile_ny=tiling.tile_ny, tile_nx=tiling.tile_nx,
-                              b_cap=mc, interpret=interpret)
+        return split_buckets(pp, tile_rows=tiling.tile_rows, tile_cols=tiling.tile_cols,
+                             tile_ny=tiling.tile_ny, tile_nx=tiling.tile_nx,
+                             b_cap=mc, interpret=interpret)
 
-    t_x = timeit(stage_xtract, pw); print(f"  extract     {t_x*1e3:9.1f} ms", flush=True)
+    t_x = timeit(stage_xtract, pw); print(f"  split       {t_x*1e3:9.1f} ms", flush=True)
     p1, movers, wm, _da = stage_xtract(pw)
 
     @jax.jit
