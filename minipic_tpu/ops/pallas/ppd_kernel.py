@@ -80,6 +80,7 @@ def _kernel(
     gather_mode: str = "exact",
     gather_prec=jax.lax.Precision.HIGHEST,
     body_sub: int = 1,
+    tiles_per_block: int = 1,
     ablate: str = "",  # perf instrumentation (scripts/ablate_advance.py)
 ):
     abl = frozenset(ablate.split(",")) if ablate else frozenset()
@@ -88,7 +89,6 @@ def _kernel(
     f_refs = refs[6 : 6 + nf]
     xo_ref, yo_ref, pxo_ref, pyo_ref, pzo_ref = refs[6 + nf : 11 + nf]
     jx_ref, jy_ref, jz_ref, dmax_ref = refs[11 + nf : 15 + nf]
-    t = pl.program_id(0)
     k = pl.program_id(1)
 
     @pl.when(k == 0)
@@ -98,15 +98,38 @@ def _kernel(
         jz_ref[...] = jnp.zeros(jz_ref.shape, jz_ref.dtype)
         dmax_ref[...] = jnp.zeros(dmax_ref.shape, dmax_ref.dtype)
 
-    nxg = nxt + 2 * g
-    nyg = nyt + 2 * g
+    # Multiple tiles per kernel invocation (tiles_per_block) amortize the
+    # per-invocation pipeline cost; each tile's pipeline is independent.
+    for ti in range(tiles_per_block):
+        _process_tile(
+            ti, pl.program_id(0) * tiles_per_block + ti, k,
+            counts_ref, ox_ref, oy_ref, f_refs,
+            (x_ref, y_ref, px_ref, py_ref, pz_ref, w_ref),
+            (xo_ref, yo_ref, pxo_ref, pyo_ref, pzo_ref),
+            (jx_ref, jy_ref, jz_ref, dmax_ref),
+            nxt=nxt, nyt=nyt, g=g, order=order, qm=qm, q=q, dt=dt, dx=dx,
+            dy=dy, kc=kc, fused_gather=fused_gather, wrap=wrap, grid=grid,
+            gather_mode=gather_mode, gather_prec=gather_prec,
+            body_sub=body_sub, abl=abl,
+        )
 
-    x = x_ref[0, 0]  # [1, KC]
-    y = y_ref[0, 0]
-    px = px_ref[0, 0]
-    py = py_ref[0, 0]
-    pz = pz_ref[0, 0]
-    qw_full = q * w_ref[0, 0]
+
+def _process_tile(
+    ti, t, k, counts_ref, ox_ref, oy_ref, f_refs, p_refs, o_refs, j_refs,
+    *, nxt, nyt, g, order, qm, q, dt, dx, dy, kc,
+    fused_gather, wrap, grid, gather_mode, gather_prec, body_sub, abl,
+):
+    x_ref, y_ref, px_ref, py_ref, pz_ref, w_ref = p_refs
+    xo_ref, yo_ref, pxo_ref, pyo_ref, pzo_ref = o_refs
+    jx_ref, jy_ref, jz_ref, dmax_ref = j_refs
+
+    x = x_ref[ti, 0]  # [1, KC]
+    y = y_ref[ti, 0]
+    px = px_ref[ti, 0]
+    py = py_ref[ti, 0]
+    pz = pz_ref[ti, 0]
+    qw_full = q * w_ref[ti, 0]
+    f_tile = tuple(fr.at[ti] for fr in f_refs)
 
     @pl.when(k * kc < counts_ref[t])
     def _body():
@@ -123,7 +146,7 @@ def _kernel(
                 x[:, s * w : (s + 1) * w], y[:, s * w : (s + 1) * w],
                 px[:, s * w : (s + 1) * w], py[:, s * w : (s + 1) * w],
                 pz[:, s * w : (s + 1) * w], qw_full[:, s * w : (s + 1) * w],
-                f_refs, ox_ref[t], oy_ref[t], w,
+                f_tile, ox_ref[t], oy_ref[t], w,
                 nxt=nxt, nyt=nyt, g=g, order=order, qm=qm, dt=dt, dx=dx,
                 dy=dy, fused_gather=fused_gather, wrap=wrap, grid=grid,
                 gather_mode=gather_mode, gather_prec=gather_prec, abl=abl,
@@ -136,21 +159,21 @@ def _kernel(
 
         for ref, parts in zip((xo_ref, yo_ref, pxo_ref, pyo_ref, pzo_ref),
                               zip(*outs)):
-            ref[0, 0] = (parts[0] if body_sub == 1
-                         else jnp.concatenate(parts, axis=1))
-        jx_ref[0] += j_acc[0]
-        jy_ref[0] += j_acc[1]
-        jz_ref[0] += j_acc[2]
-        dmax_ref[0, 0] = jnp.maximum(dmax_ref[0, 0], dmax.reshape(128))
+            ref[ti, 0] = (parts[0] if body_sub == 1
+                          else jnp.concatenate(parts, axis=1))
+        jx_ref[ti] += j_acc[0]
+        jy_ref[ti] += j_acc[1]
+        jz_ref[ti] += j_acc[2]
+        dmax_ref[ti, 0] = jnp.maximum(dmax_ref[ti, 0], dmax.reshape(128))
 
     @pl.when(k * kc >= counts_ref[t])
     def _skip():
         # Fully-dead chunk: state passes through untouched.
-        xo_ref[0, 0] = x
-        yo_ref[0, 0] = y
-        pxo_ref[0, 0] = px
-        pyo_ref[0, 0] = py
-        pzo_ref[0, 0] = pz
+        xo_ref[ti, 0] = x
+        yo_ref[ti, 0] = y
+        pxo_ref[ti, 0] = px
+        pyo_ref[ti, 0] = py
+        pzo_ref[ti, 0] = pz
 
 
 def _sub_chunk(
@@ -201,7 +224,7 @@ def _sub_chunk(
             # particle gathers all six components.
             rhs = jnp.concatenate([sx_h, sx_i], axis=0)  # [2nxg, KC]
             if gather_mode == "fast":
-                m = _dot_f_s(f_refs[0][0], rhs, jax.lax.Precision.DEFAULT)
+                m = _dot_f_s(f_refs[0][...], rhs, jax.lax.Precision.DEFAULT)
             else:
                 # Multi-word gather as a SINGLE DEFAULT-precision dot:
                 # split each operand into exact bf16 words (8 mantissa
@@ -224,7 +247,7 @@ def _sub_chunk(
                     s2 = (r - s1.astype(jnp.float32)).astype(jnp.bfloat16)
                     rhs_w = jnp.concatenate([s0, s1, s0, s2, s1, s0], axis=0)
                 m = jax.lax.dot_general(
-                    f_refs[0][0], rhs_w, (((1,), (0,)), ((), ())),
+                    f_refs[0][...], rhs_w, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )  # [6nyg, KC]
             m_h, m_i = m[: 3 * nyg], m[3 * nyg :]
@@ -232,8 +255,8 @@ def _sub_chunk(
             # One dot per x-stagger class: the 3 components sharing Sx are
             # stacked on the row axis (M = 3*nyg), tripling MXU row
             # utilization vs six [nyg, nxg] dots.
-            m_h = _dot_f_s(f_refs[0][0], sx_h, gather_prec)  # [3nyg, KC]: ex, by, bz
-            m_i = _dot_f_s(f_refs[1][0], sx_i, gather_prec)  # [3nyg, KC]: ey, ez, bx
+            m_h = _dot_f_s(f_refs[0][...], sx_h, gather_prec)  # [3nyg, KC]: ex, by, bz
+            m_i = _dot_f_s(f_refs[1][...], sx_i, gather_prec)  # [3nyg, KC]: ey, ez, bx
 
         def red(m_, lo, sy):  # -> [1, KC]
             # Explicit pairwise halving tree for the sublane reduction:
@@ -399,6 +422,7 @@ def fused_push_deposit(
     wrap: Tuple[int, int] | None = None,
     grid: Tuple[int, int] | None = None,
     body_sub: int = 0,
+    tiles_per_block: int = 0,
     return_disp: bool = False,
     ablate: str = "",
     vma_axes=(),
@@ -430,11 +454,19 @@ def fused_push_deposit(
     # [T, nc, 1, kc] so the block's trailing two dims (1, kc) equal the
     # array's — the Mosaic (8, 128) tiling rule for partial blocks.
     nc = cap // kc
-    pspec = pl.BlockSpec((1, 1, 1, kc), lambda i, k, *_: (i, k, 0, 0), memory_space=pltpu.VMEM)
-    fspec = pl.BlockSpec((1, nyg, nxg), lambda i, k, *_: (i, 0, 0), memory_space=pltpu.VMEM)
-    f3spec = pl.BlockSpec((1, 3 * nyg, nxg), lambda i, k, *_: (i, 0, 0), memory_space=pltpu.VMEM)
+    # Tiles per kernel invocation.  Measured: pairing does NOT move the
+    # bench (6.442 vs 6.444e8 at tp=2) — at grid (T,) the per-invocation
+    # cost is already real work, not dispatch.  Kept as an experiment
+    # knob; default 1.
+    tp = tiles_per_block if tiles_per_block > 0 else 1
+    if t_total % tp:
+        tp = 1
+    pspec = pl.BlockSpec((tp, 1, 1, kc), lambda i, k, *_: (i, k, 0, 0), memory_space=pltpu.VMEM)
+    fspec = pl.BlockSpec((tp, nyg, nxg), lambda i, k, *_: (i, 0, 0), memory_space=pltpu.VMEM)
+    f3spec = pl.BlockSpec((tp, 3 * nyg, nxg), lambda i, k, *_: (i, 0, 0), memory_space=pltpu.VMEM)
     fb_w = {"fast": 2, "f32x3": 6}.get(gather_precision, 12) * nxg
-    fbspec = pl.BlockSpec((1, 6 * nyg, fb_w), lambda i, k, *_: (i, 0, 0), memory_space=pltpu.VMEM)
+    fbspec = pl.BlockSpec((tp, 6 * nyg, fb_w), lambda i, k, *_: (i, 0, 0), memory_space=pltpu.VMEM)
+    dspec = pl.BlockSpec((tp, 1, 128), lambda i, k, *_: (i, 0, 0), memory_space=pltpu.VMEM)
 
     if body_sub <= 0:
         # Measured: sub-splitting the body does NOT beat the monolithic
@@ -449,7 +481,7 @@ def fused_push_deposit(
         nxt=tile_nx, nyt=tile_ny, g=g, order=order,
         qm=qm, q=q, dt=dt, dx=dx, dy=dy, kc=kc,
         fused_gather=fused_gather, wrap=wrap, grid=grid, ablate=ablate,
-        body_sub=body_sub,
+        body_sub=body_sub, tiles_per_block=tp,
         gather_mode=gather_precision,
         # The split (non-fused) path has no word-stacked layout; Mosaic
         # supports only DEFAULT/HIGHEST there.
@@ -461,11 +493,9 @@ def fused_push_deposit(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # counts, ox, oy
-        grid=(t_total, cap // kc),
+        grid=(t_total // tp, cap // kc),
         in_specs=[pspec] * 6 + ([fbspec] if fused_gather else [f3spec] * 2),
-        out_specs=[pspec] * 5 + [fspec] * 3
-        + [pl.BlockSpec((1, 1, 128), lambda i, k, *_: (i, 0, 0),
-                        memory_space=pltpu.VMEM)],
+        out_specs=[pspec] * 5 + [fspec] * 3 + [dspec],
     )
 
     # Inside shard_map (check_vma), outputs must declare their varying axes.
