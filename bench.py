@@ -81,7 +81,9 @@ def main():
     grid = int(os.environ.get("BENCH_GRID", 512))
     target_particles = float(os.environ.get("BENCH_PARTICLES", 1e8))
     rebin_interval = int(os.environ.get("BENCH_REBIN", 8))
-    inner = int(os.environ.get("BENCH_STEPS", 10))
+    # 50-step window: drift-triggered re-bins fire every ~20 steps, so a
+    # 10-step window could miss the re-bin steady state entirely.
+    inner = int(os.environ.get("BENCH_STEPS", 50))
 
     for n_try in (target_particles, target_particles / 2, target_particles / 4, 1e7):
         try:
