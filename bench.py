@@ -33,7 +33,13 @@ def build(n_particles: int, grid: int, rebin_interval: int):
         tile_ny=int(os.environ.get("BENCH_TILE", 8)),
         guard=int(os.environ.get("BENCH_GUARD", 4)),  # drift <= guard-1 cells between re-bins
         species=(
-            SpeciesSpec("ele", charge=-1.0, mass=1.0, ppc=ppc, uth=0.05),
+            SpeciesSpec("ele", charge=-1.0, mass=1.0, ppc=ppc, uth=0.05,
+                        # TSC (order 2) by default: the config that meets the
+                        # <0.1%/10k energy acceptance (docs/energy_tpu_10k_o2)
+                        # is the config the throughput headline is measured
+                        # in — one config, both claims.  BENCH_ORDER=1 for
+                        # the CIC comparison number.
+                        shape_order=int(os.environ.get("BENCH_ORDER", 2))),
             # Immobile neutralizing background is implied (uniform density);
             # a single mobile species keeps the metric = pushes of 1e8.
         ),

@@ -75,6 +75,14 @@ def main(argv=None):
         "on the save cadence — restartable via io.checkpoint.particles_from_snapshot",
     )
     ap.add_argument(
+        "--resume", nargs="?", const="auto", default=None, metavar="CKPT",
+        help="resume from a checkpoint.npz (default: <out>/checkpoint.npz). "
+        "Restores fields, particles, and the step counter bit-exact and "
+        "continues to --steps/total_steps.  The run mode (--sharded and "
+        "mesh shape) must match the saving run: sharded checkpoints store "
+        "buckets in shard-major order.  Implies --keep-existing.",
+    )
+    ap.add_argument(
         "--keep-existing", action="store_true",
         help="do NOT wipe stale run artifacts from --out first (the default "
         "mirrors the reference's delete-and-recreate folder lifecycle, "
@@ -125,7 +133,7 @@ def main(argv=None):
     from .diag.history import RunHistory
     from .io.hdf5 import save_fields
     from .io.params import write_params
-    from .io.checkpoint import save_checkpoint
+    from .io.checkpoint import load_checkpoint, save_checkpoint
 
     fields = case.init_fields(deck) if case.init_fields else None
 
@@ -140,10 +148,44 @@ def main(argv=None):
     if case.seed_state:
         sim.state = case.seed_state(sim.state, deck)
 
+    start_step = 0
+    if args.resume is not None:
+        ckpt = (
+            os.path.join(args.out, "checkpoint.npz")
+            if args.resume == "auto" else args.resume
+        )
+        loaded = load_checkpoint(ckpt, deck)
+        if len(loaded.species) != len(deck.species):
+            raise SystemExit(
+                f"--resume: checkpoint has {len(loaded.species)} species, "
+                f"deck has {len(deck.species)}"
+            )
+        if args.sharded:
+            # Restore the saved (shard-major) layout onto the mesh.
+            import jax
+            from jax.sharding import NamedSharding
+            from .core.state import FieldState, ParticleState, SimState
+            from .parallel.mesh import field_spec, particle_spec
+
+            fsh = NamedSharding(sim.mesh, field_spec())
+            psh = NamedSharding(sim.mesh, particle_spec())
+            loaded = SimState(
+                fields=FieldState(*(jax.device_put(c, fsh) for c in loaded.fields)),
+                species=tuple(
+                    ParticleState(*(jax.device_put(a, psh) for a in sp))
+                    for sp in loaded.species
+                ),
+                step=loaded.step,
+                drift=loaded.drift,
+            )
+        sim.state = loaded
+        start_step = int(loaded.step)
+        print(f"resumed from {ckpt} at step {start_step}", flush=True)
+
     n_steps = args.steps if args.steps is not None else deck.total_steps
     save_every = args.save_every if args.save_every is not None else deck.save_frequency
     os.makedirs(args.out, exist_ok=True)
-    if not args.keep_existing:
+    if not args.keep_existing and args.resume is None:
         wipe_run_artifacts(args.out)
     write_params(deck, args.out)
     hist = RunHistory()
@@ -177,35 +219,43 @@ def main(argv=None):
 
                 save_particles(sim.state.species, species_names, step, args.out)
 
-    save(0)
+    if start_step == 0:
+        save(0)
     print(f"deck={args.deck} grid={deck.ny}x{deck.nx} dt={deck.dt:.6g} steps={n_steps}", flush=True)
     prof_until = 0
     prof_active = False
     if args.profile:
         import jax
 
-        prof_until = min(20, n_steps)
-        if prof_until > 0:
+        prof_until = min(start_step + 20, n_steps)
+        if prof_until > start_step:
             jax.profiler.start_trace(args.profile)
             prof_active = True
+    ovf_acc = 0  # device-side running sum — no per-step host sync
     try:
-        for i in range(1, n_steps + 1):
+        for i in range(start_step + 1, n_steps + 1):
             diag = sim.step()
+            # Accumulate overflow EVERY step (an async device add, not a
+            # sync): with --diag-every N, drops on the other N-1 steps
+            # must still reach ensure_capacity, or growth lags repeated
+            # drops by many steps.
+            ovf_acc = ovf_acc + diag.overflow
             if i == prof_until and prof_active:
                 import jax
 
                 jax.profiler.stop_trace()
                 prof_active = False
-                print(f"profiler trace (steps 1..{i}) written to {args.profile}", flush=True)
+                print(f"profiler trace (steps ..{i}) written to {args.profile}", flush=True)
             # Adaptive capacity (grow on overflow, shrink after calm) and
             # history both materialize device scalars — keep them on the
             # diag cadence so the hot loop stays async-dispatch only.
             on_cadence = i % args.diag_every == 0 or i == n_steps
             if on_cadence:
                 hist.record(i, deck.dt, diag)
-                ovf = int(diag.overflow)
+                ovf = int(ovf_acc)
                 if hasattr(sim, "ensure_capacity") and (ovf > 0 or i % 50 < args.diag_every):
                     sim.ensure_capacity(ovf)
+                    ovf_acc = 0
             if i % save_every == 0:
                 save(i)
                 sps = hist.steps_per_sec()

@@ -50,6 +50,15 @@ class SpeciesSpec:
     uth_z: Optional[float] = None
     # Particle shape order: 1 = linear (CIC), 2 = quadratic (TSC).
     shape_order: int = 1
+    # How the density profile maps to macroparticles:
+    #   "weight": uniform ppc everywhere, w = n dxdy/ppc (quiet, the
+    #             default — noise-free gradients, uniform per-tile counts);
+    #   "count":  uniform weight w = n_max dxdy/ppc, per-cell LIVE COUNT
+    #             thinned to ~ppc * n/n_max (deterministic sub-lattice
+    #             culling).  Counts now follow the profile — the loader for
+    #             load-balance stress decks where per-chip work (~ live
+    #             particles) must actually contrast.
+    load_mode: str = "weight"
 
     def thermal_spread(self) -> Tuple[float, float, float]:
         return (
@@ -224,14 +233,14 @@ class Deck:
         if self.mover_capacity is not None:
             return min(self.mover_capacity, room)
         # Crowding safety over the expected-band estimates (underestimates
-        # fall back losslessly to the full sort, so this trades only time).
+        # defer losslessly to the next step, so this trades only time).
+        # No artificial ceiling beyond `room`: clamping to the old
+        # capacity//8 heuristic knowingly undersized drifting-beam decks
+        # (expected_mover_fraction * safety > 1/8), turning every re-bin
+        # into a deferral and, past the drift budget, counted drops.
         safety = 2.0 if self.uses_drift_trigger() else 4.0
         derived = safety * self.expected_mover_fraction() * capacity
-        base = min(
-            max(512, -(-int(derived) // 128) * 128),
-            # never bigger than the old capacity//8 heuristic's ceiling
-            max(512, -(-capacity // 8 // 128) * 128),
-        )
+        base = max(512, -(-int(derived) // 128) * 128)
         return min(base, room)
 
     # Per-direction cross-shard particle exchange buffer capacity (slots);
@@ -327,7 +336,10 @@ class Deck:
                     "increase guard or use rebin_trigger='interval' with "
                     "rebin_interval=1"
                 )
-        elif self.species and self.rebin_interval > 1:
+        elif self.species and not self.uses_drift_trigger() and self.rebin_interval > 1:
+            # The interval bound applies only when the interval schedule is
+            # actually in effect — an "auto" deck with drift budget runs the
+            # drift trigger, where rebin_interval is ignored.
             # Between re-binning passes a particle may drift from its stale
             # tile; its full shape support must stay inside the guard band.
             max_drift = self.rebin_interval * self.dt / min(self.dx, self.dy)

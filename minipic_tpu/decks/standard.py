@@ -158,10 +158,11 @@ def laser_plasma(nx: int = 512, ny: int = 512, ppc: int = 4) -> Case:
 def load_balance_stress(nx: int = 1024, ny: int = 1024, n_particles: float = None) -> Case:
     """BASELINE config 5: nonuniform density blob on a 1024^2 grid,
     1e8 particles, grid sharded over 8 chips.  The blob concentrates
-    *weight* in the center; particle slots stay uniform per tile, which is
-    exactly the TPU load-balance strategy (device-side binning into
-    fixed-capacity buckets -> every chip does identical work; SURVEY.md §7
-    design stance)."""
+    *weight* in the center while particle COUNTS stay uniform per tile
+    (weighted loading) — so per-chip work (~ live particles, the
+    occupancy-bounded kernels skip dead slots) starts balanced.  This deck
+    stresses the capacity/weight axis; ``load_balance_stress_counts``
+    stresses the work-skew axis with a real count contrast."""
     if n_particles is None:
         n_particles = 95.0 * nx * ny  # 1e8 at the nominal 1024^2
     ppc = max(1, round(n_particles / (nx * ny)))
@@ -185,6 +186,61 @@ def load_balance_stress(nx: int = 1024, ny: int = 1024, n_particles: float = Non
                 notes="sharded 2x4; uniform slot load under nonuniform density")
 
 
+def load_balance_stress_counts(nx: int = 1024, ny: int = 1024, ppc: int = 95) -> Case:
+    """Count-contrast variant of load_balance_stress: the same blob loaded
+    with load_mode='count' — constant-weight particles, per-cell LIVE
+    COUNTS following the 0.1..4.1 profile (a ~41x count contrast between
+    blob center and edge).  Per-chip work (~ live particles under the
+    occupancy-bounded kernels) now genuinely contrasts: on the (2, 4) mesh
+    the blob-center shards are the stragglers.  StepDiag.shard_live /
+    RunHistory.live_skew is the observable; balanced (striped) placement
+    is the fix (parallel/balanced.py)."""
+
+    def blob(x, y):
+        r2 = ((x - 51.2) ** 2 + (y - 51.2) ** 2) / (12.0**2)
+        return 0.1 + 4.0 * jnp.exp(-r2)
+
+    deck = Deck(
+        box_x=102.4, box_y=102.4, nx=nx, ny=ny, tile_nx=8, tile_ny=8, guard=4,
+        species=(
+            SpeciesSpec("ele", charge=-1.0, mass=1.0, ppc=ppc, uth=0.05,
+                        density=blob, load_mode="count"),
+            SpeciesSpec("ion", charge=+1.0, mass=1836.0, ppc=ppc,
+                        density=blob, load_mode="count"),
+        ),
+        sim_time=10.0, mesh_shape=(2, 4),
+    )
+    return Case("load_balance_stress_counts", deck,
+                notes="sharded 2x4; REAL count contrast -> work skew")
+
+
+def load_balance_bunching(nx: int = 512, ny: int = 512, ppc: int = 64) -> Case:
+    """Dynamic-bunching stress: a drifting count-loaded blob sweeps across
+    every shard boundary — the localized particle concentration (and with
+    it the straggler) MOVES from chip to chip, the scenario static block
+    placement cannot rebalance (the reference migrates tiles off hot ranks
+    for exactly this, PIC_2D.cpp:398-412).  Run sharded and watch
+    RunHistory.live_skew: block placement holds max/mean ~ n_shards x
+    blob concentration; striped placement holds ~1."""
+
+    def blob(x, y):
+        r2 = ((x - 12.8) ** 2 + (y - 25.6) ** 2) / (8.0**2)
+        return 0.05 + 4.0 * jnp.exp(-r2)
+
+    deck = Deck(
+        box_x=51.2, box_y=51.2, nx=nx, ny=ny, tile_nx=8, tile_ny=8, guard=4,
+        species=(
+            SpeciesSpec("ele", charge=-1.0, mass=1.0, ppc=ppc, ux=0.5,
+                        uth=0.02, density=blob, load_mode="count"),
+            SpeciesSpec("ion", charge=+1.0, mass=1836.0, ppc=ppc, ux=0.5,
+                        uth=0.02, density=blob, load_mode="count"),
+        ),
+        sim_time=120.0, mesh_shape=(2, 4),
+    )
+    return Case("load_balance_bunching", deck,
+                notes="sharded 2x4; drifting bunch crosses every shard")
+
+
 CASES: Dict[str, Callable[..., Case]] = {
     "reference_pulse": reference_pulse,
     "two_stream": two_stream,
@@ -192,6 +248,8 @@ CASES: Dict[str, Callable[..., Case]] = {
     "landau": landau,
     "laser_plasma": laser_plasma,
     "load_balance_stress": load_balance_stress,
+    "load_balance_stress_counts": load_balance_stress_counts,
+    "load_balance_bunching": load_balance_bunching,
 }
 
 

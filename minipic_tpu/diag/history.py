@@ -19,6 +19,10 @@ class RunHistory:
         self.kinetic_energy: List[list] = []
         self.overflow: List[int] = []
         self.wall: List[float] = []
+        # max/mean of StepDiag.shard_live: the cross-chip work skew
+        # (1.0 = perfectly balanced; occupancy-bounded kernels make the
+        # slowest chip ~ the max entry).
+        self.live_skew: List[float] = []
         self._t0 = time.perf_counter()
 
     def record(self, step: int, dt: float, diag) -> None:
@@ -27,6 +31,13 @@ class RunHistory:
         self.field_energy.append(float(diag.field_energy))
         self.kinetic_energy.append([float(k) for k in diag.kinetic_energy])
         self.overflow.append(int(diag.overflow))
+        live = getattr(diag, "shard_live", None)
+        if live is not None and len(live) > 0:
+            import numpy as _np
+
+            arr = _np.asarray(live, dtype=_np.float64)
+            mean = arr.mean()
+            self.live_skew.append(float(arr.max() / mean) if mean > 0 else 1.0)
         self.wall.append(time.perf_counter() - self._t0)
 
     def total_energy(self) -> list:
@@ -52,6 +63,7 @@ class RunHistory:
                 "kinetic_energy": self.kinetic_energy,
                 "overflow": self.overflow,
                 "wall": self.wall,
+                "live_skew": self.live_skew,
             }
         )
 

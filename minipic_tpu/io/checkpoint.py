@@ -33,17 +33,27 @@ def save_checkpoint(path: str, state: SimState) -> None:
     np.savez(path, **arrays)
 
 
-def load_checkpoint(path: str) -> SimState:
+def load_checkpoint(path: str, deck: "Deck" = None) -> SimState:
     z = np.load(path)
     fields = FieldState(*(jnp.asarray(z[f"fields_{n}"]) for n in FieldState._fields))
     species = tuple(
         ParticleState(*(jnp.asarray(z[f"sp{i}_{n}"]) for n in ParticleState._fields))
         for i in range(int(z["n_species"]))
     )
-    # Pre-drift checkpoints: 1e9 cells forces a re-bin on the first
-    # drift-triggered step (always safe — the buckets were just sorted if
-    # the writer re-binned, and a redundant sort only costs time).
-    drift = jnp.asarray(z["drift"]) if "drift" in z else jnp.float32(1e9)
+    if "drift" in z:
+        drift = jnp.asarray(z["drift"])
+    elif deck is not None and deck.species and deck.uses_drift_trigger():
+        # Pre-drift checkpoints: restore between the drift and force
+        # thresholds so the first step triggers a *non-forced* re-bin —
+        # deferral-capable if a tile's movers overflow, instead of
+        # drop-and-count on the very first step after restart.
+        drift = jnp.float32(deck.drift_threshold() + 1e-3)
+    else:
+        # No deck to derive thresholds from: force a re-bin on the first
+        # drift-triggered step (safe for freshly-sorted buckets; a stale
+        # bucket with an overfull mover buffer would drop-and-count —
+        # pass the deck to get the deferral-capable restore).
+        drift = jnp.float32(1e9)
     return SimState(
         fields=fields, species=species, step=jnp.asarray(z["step"]), drift=drift
     )

@@ -128,7 +128,8 @@ def _process_tile(
     px = px_ref[ti, 0]
     py = py_ref[ti, 0]
     pz = pz_ref[ti, 0]
-    qw_full = q * w_ref[ti, 0]
+    w_full = w_ref[ti, 0]
+    qw_full = q * w_full
     f_tile = tuple(fr.at[ti] for fr in f_refs)
 
     @pl.when(k * kc < counts_ref[t])
@@ -146,6 +147,7 @@ def _process_tile(
                 x[:, s * w : (s + 1) * w], y[:, s * w : (s + 1) * w],
                 px[:, s * w : (s + 1) * w], py[:, s * w : (s + 1) * w],
                 pz[:, s * w : (s + 1) * w], qw_full[:, s * w : (s + 1) * w],
+                w_full[:, s * w : (s + 1) * w],
                 f_tile, ox_ref[t], oy_ref[t], w,
                 nxt=nxt, nyt=nyt, g=g, order=order, qm=qm, dt=dt, dx=dx,
                 dy=dy, fused_gather=fused_gather, wrap=wrap, grid=grid,
@@ -177,7 +179,7 @@ def _process_tile(
 
 
 def _sub_chunk(
-    x, y, px, py, pz, qw, f_refs, ox_s, oy_s, kc,
+    x, y, px, py, pz, qw, wgt, f_refs, ox_s, oy_s, kc,
     *, nxt, nyt, g, order, qm, dt, dx, dy,
     fused_gather, wrap, grid, gather_mode, gather_prec, abl,
 ):
@@ -400,8 +402,11 @@ def _sub_chunk(
         # to one 128-lane vector — feeds the drift-triggered re-bin at no
         # HBM cost (the XLA fallback re-reads the momenta:
         # simulation.max_step_displacement).
+        # Mask by the raw weight (not q*w): a zero-charge tracer species
+        # must still feed the drift watermark (matches the XLA fallback,
+        # simulation.max_step_displacement).
         d = jnp.maximum(jnp.abs(xn - x), jnp.abs(yn - y))
-        d = jnp.where(qw != 0, d, 0.0)
+        d = jnp.where(wgt != 0, d, 0.0)
         d128 = jnp.zeros((1, 128), jnp.float32)
         for c in range(kc // 128):
             d128 = jnp.maximum(d128, d[:, c * 128 : (c + 1) * 128])

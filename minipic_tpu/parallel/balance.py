@@ -4,16 +4,31 @@ What the reference does: moves whole tiles between MPI ranks when a rank is
 overloaded, tracked by a replicated owner table (Auxiliar_functions.cpp:
 242-272, PIC_2D.cpp:398-412), with a hard-coded trigger policy.
 
-Why the TPU problem is different: with fixed-capacity tile buckets and
-dense batched kernels, *every chip already does identical work per step*
-regardless of where particles sit — imbalance does not show up as idle
-chips, it shows up as **capacity waste**: the bucket size K must cover the
-most crowded tile, and dense kernels spend compute proportional to K, not
-to the live particle count.  So load balance here means:
+Why the TPU problem is different: tile->shard placement is static (a
+shard's field block is its tiles), and per-chip work is **proportional to
+the chip's live particles**, not to bucket capacity — the occupancy-
+bounded kernels (ops/pallas/ppd_kernel) skip dead chunks, so a chip whose
+tiles fill up becomes the straggler while the others idle at the next
+collective.  (An earlier revision claimed "every chip does identical work
+per step"; that was true of dense fixed-trip kernels and is stale since
+occupancy bounding landed.)  Load balance therefore has two axes:
+
+* **capacity waste** — bucket size K must cover the most crowded tile and
+  buffers scale with K (memory, re-bin slot costs);
+* **work skew** — max/mean live particles per shard (StepDiag.shard_live,
+  RunHistory.live_skew).  Weighted loading equalizes the *initial* count
+  distribution; dynamic bunching (two-stream saturation, wakefield
+  snowplow) can still concentrate particles onto one chip.  The measured
+  answer lives in docs/ROADMAP.md (load-balance section): per-shard skew
+  on the count-contrast and bunching stress decks, and
+  ``shard_major_permutation``-based remapping when skew justifies it.
+
+The mechanisms:
 
 1. **Census** (this module): per-tile live counts and occupancy statistics,
    on device, psum-aggregated — the observable the reference never had
-   (it *proposed* MPI_Wtime-driven balancing as future work, report §5).
+   (it *proposed* MPI_Wtime-driven balancing as future work, report §5);
+   plus the per-shard work census in every StepDiag.
 2. **Re-binning** (particles/binning.py + parallel/exchange.py): keeps
    every particle in the bucket of the tile that owns its cells — the
    mechanism that replaces tile migration, run every rebin_interval steps.
@@ -22,8 +37,9 @@ to the live particle count.  So load balance here means:
    the bounded-recompile answer to dynamic shapes (SURVEY.md §7 hard
    part #2).
 4. **Occupancy-bounded compute** (ops/pallas kernel): per-tile dynamic
-   trip counts make the hot kernels cost ~live particles instead of K,
-   which is the true TPU analogue of work stealing.
+   trip counts make the hot kernels cost ~live particles instead of K —
+   work follows load, which is what makes the skew axis observable (and
+   bounded by re-mapping, not hidden by padding).
 """
 from __future__ import annotations
 
@@ -31,7 +47,6 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..core.state import ParticleState
 
@@ -62,6 +77,26 @@ def census(p: ParticleState) -> LoadStats:
     )
 
 
+def positional_tile_counts(p: ParticleState, tiling, row0: int = 0, col0: int = 0) -> jax.Array:
+    """Live particles per *destination* tile — the POSITIONAL census (which
+    tile each particle belongs to now), as opposed to bucket occupancy:
+    between re-bins a drifted particle sits in a stale bucket.  Runs fully
+    on device ([T] int32 counts); callers pull at most T scalars, never the
+    position arrays (the old host-side variant pulled ~2.4 GB per shrink
+    attempt at 1e8 particles over the axon tunnel)."""
+    col = jnp.clip(
+        jnp.floor(p.x / tiling.tile_nx).astype(jnp.int32) - col0,
+        0, tiling.tile_cols - 1,
+    )
+    row = jnp.clip(
+        jnp.floor(p.y / tiling.tile_ny).astype(jnp.int32) - row0,
+        0, tiling.tile_rows - 1,
+    )
+    tid = (row * tiling.tile_cols + col).ravel()
+    alive = (p.w > 0).ravel().astype(jnp.int32)
+    return jnp.zeros(tiling.num_tiles, jnp.int32).at[tid].add(alive)
+
+
 def with_capacity(p: ParticleState, new_cap: int, tiling=None) -> ParticleState:
     """Grow or shrink bucket capacity.  Growth pads with dead slots; shrink
     compacts by re-binning the slot pool into the smaller buckets (requires
@@ -83,16 +118,9 @@ def with_capacity(p: ParticleState, new_cap: int, tiling=None) -> ParticleState:
     # particle belongs to now), not bucket occupancy: between re-bins a
     # drifted particle sits in a stale bucket, and rebin_flat sorts by
     # position — a bucket-count check would pass while the destination
-    # tile overflows.  Host-side numpy; this runs outside jit.
-    xs = np.asarray(p.x).ravel()
-    ys = np.asarray(p.y).ravel()
-    alive = np.asarray(p.w).ravel() > 0
-    col = np.floor(xs[alive] / tiling.tile_nx).astype(np.int64)
-    row = np.floor(ys[alive] / tiling.tile_ny).astype(np.int64)
-    tid = np.clip(row, 0, tiling.tile_rows - 1) * tiling.tile_cols + np.clip(
-        col, 0, tiling.tile_cols - 1
-    )
-    max_live = int(np.bincount(tid, minlength=tiling.num_tiles).max()) if tid.size else 0
+    # tile overflows.  Device-side reduction; only one scalar crosses to
+    # the host.
+    max_live = int(positional_tile_counts(p, tiling).max())
     if max_live > new_cap:
         raise ValueError(f"cannot shrink to {new_cap}: a tile holds {max_live} live particles")
     flat = jax.tree_util.tree_map(lambda a: a.reshape(p.num_tiles * cap), p)

@@ -81,6 +81,12 @@ def build_sharded_step(deck: Deck, mesh: Mesh):
         or (deck.rebin_mode == "auto" and backend == "pallas")
     )
     trigger_drift = bool(deck.species) and deck.uses_drift_trigger()
+    # One-step lossless deferral grace for the interval schedule (see
+    # simulation.build_step — the marker rides SimState.drift).
+    interval_grace = use_incremental and (
+        (deck.rebin_interval + 1) * deck.cfl_step_cells()
+        <= deck.guard - deck.shape_reach()
+    )
 
     fspec = FieldState(*(field_spec(),) * 6)
     pspec = ParticleState(*(particle_spec(),) * 6)
@@ -193,11 +199,20 @@ def build_sharded_step(deck: Deck, mesh: Mesh):
             force_flag = drift_now > deck.force_threshold()
         else:
             drift_now = drift
-            do_rebin_pred = (
+            sched = (
                 None if deck.rebin_interval == 1
                 else step % deck.rebin_interval == 0
             )
-            force_flag = True  # interval mode has no deferral budget
+            if interval_grace:
+                # drift is replicated, so the predicate is mesh-agreed.
+                pending_prev = drift > 0.5
+                do_rebin_pred = (
+                    None if sched is None else (sched | pending_prev)
+                )
+                force_flag = pending_prev
+            else:
+                do_rebin_pred = sched
+                force_flag = True  # no deferral budget in the guard
 
         overflow = jnp.zeros((), jnp.int32)
         binned = []
@@ -322,17 +337,32 @@ def build_sharded_step(deck: Deck, mesh: Mesh):
             drift_now = jnp.where(
                 do_rebin_pred & (pending_total == 0), 0.0, drift_now
             )
+        elif interval_grace:
+            did = (
+                jnp.bool_(True) if do_rebin_pred is None else do_rebin_pred
+            )
+            drift_now = jnp.where(
+                did, (pending_total > 0).astype(jnp.float32), drift_now
+            )
 
+        live = jnp.zeros((), jnp.int32)
+        for p in binned:
+            live = live + jnp.sum((p.w > 0).astype(jnp.int32))
         diag = StepDiag(
             field_energy=fe,
             kinetic_energy=jnp.stack(kes) if kes else jnp.zeros((0,), deck.dtype),
             overflow=overflow,
             momentum=jnp.stack(moms) if moms else jnp.zeros((0, 3), deck.dtype),
+            # one element per shard: the cross-chip work-skew observable
+            shard_live=live.reshape(1),
         )
         return fnew, tuple(binned), diag, drift_now
 
     in_specs = (fspec, (pspec,) * n_sp, P(), P())
-    out_specs = (fspec, (pspec,) * n_sp, StepDiag(P(), P(), P(), P()), P())
+    out_specs = (
+        fspec, (pspec,) * n_sp,
+        StepDiag(P(), P(), P(), P(), P(("ry", "rx"))), P(),
+    )
 
     # check_vma only off under interpret mode: the varying-axis *checker*
     # trips on unvarying loop indices inside Pallas interpret-mode lowering
@@ -417,9 +447,65 @@ class ShardedSimulation:
             drift=jnp.zeros((), jnp.float32),
         )
         self._step = jax.jit(build_sharded_step(deck, self.mesh))
+        self._capmgrs = None  # per-species CapacityManagers, lazily built
 
     def step(self, n: int = 1):
         diag = None
         for _ in range(n):
             self.state, diag = self._step(self.state)
         return diag
+
+    def ensure_capacity(self, overflow: int = 0) -> bool:
+        """Sharded counterpart of Simulation.ensure_capacity: grow bucket
+        capacity on overflow/high occupancy so a sharded overflow grows
+        instead of dropping.  The census reduction runs distributed (the
+        scalars replicate); growth pads the unsharded slot axis under jit
+        with the particle sharding pinned, so no shard ever materializes
+        another shard's buckets.  Shrink is deferred in sharded mode: it
+        needs a cross-shard positional re-bin at the new capacity, and
+        capacity waste (unlike overflow) loses no physics — a transient
+        hot spot costs only occupancy-bounded kernel time."""
+        from .balance import CapacityManager, census
+
+        if self._capmgrs is None:
+            self._capmgrs = [CapacityManager() for _ in self.state.species]
+        changed = False
+        species = list(self.state.species)
+        psh = NamedSharding(self.mesh, particle_spec())
+        for i, (p, mgr) in enumerate(zip(species, self._capmgrs)):
+            new_cap = mgr.plan(census(p), overflow)
+            if new_cap is None:
+                continue
+            q = self.deck.kchunk if self.deck.kchunk > 0 else 128
+            cap = -(-new_cap // q) * q
+            if cap > p.capacity:
+                grow = jax.jit(
+                    functools.partial(_pad_capacity, extra=cap - p.capacity),
+                    out_shardings=psh,
+                )
+                species[i] = ParticleState(*(grow(a) for a in p))
+                changed = True
+        if changed:
+            self.state = self.state._replace(species=tuple(species))
+        return changed
+
+    def run(self, n_steps: Optional[int] = None, save_every: Optional[int] = None, saver=None):
+        """Sharded mirror of Simulation.run (reference Phase H cadence)."""
+        n_steps = n_steps if n_steps is not None else self.deck.total_steps
+        save_every = save_every if save_every is not None else self.deck.save_frequency
+        if saver is not None:
+            saver(self.state, 0)
+        diag = None
+        check_every = 50  # CapacityManager cadence (census syncs the device)
+        for i in range(1, n_steps + 1):
+            self.state, diag = self._step(self.state)
+            ovf = int(diag.overflow)
+            if ovf > 0 or i % check_every == 0:
+                self.ensure_capacity(ovf)
+            if saver is not None and i % save_every == 0:
+                saver(self.state, i)
+        return diag
+
+
+def _pad_capacity(a, *, extra: int):
+    return jnp.pad(a, ((0, 0), (0, extra)))

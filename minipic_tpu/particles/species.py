@@ -10,10 +10,11 @@ module is the loader its design implies, TPU-style:
   macroparticles at (i + (m+1/2)/ppc_x, j + (n+1/2)/ppc_y), which loads a
   noise-free uniform plasma (important for clean instability growth-rate
   benchmarks).
-* Density profiles become *weights*, not particle counts: w = n(x,y) dxdy /
-  ppc.  Static shapes everywhere — vacuum regions carry w=0 slots rather
-  than fewer particles.  (The count-based loader for load-balance stress
-  lives in decks/.)
+* Density profiles become *weights* by default: w = n(x,y) dxdy / ppc.
+  Static shapes everywhere — vacuum regions carry w=0 slots rather than
+  fewer particles.  SpeciesSpec(load_mode="count") flips this: constant
+  weight, per-cell live counts thinned to the profile (the load-balance
+  stress loader — per-tile work follows density).
 * Momenta: drift + per-axis Gaussian thermal spread via jax.random,
   one independent key per species.
 
@@ -79,7 +80,19 @@ def load_species(
         n = jnp.ones_like(x)
     else:
         n = jnp.asarray(spec.density(x * domain.dx, y * domain.dy), dtype)
-    w = n * (domain.dx * domain.dy / spec.ppc)
+    if spec.load_mode == "count" and spec.density is not None:
+        # Count-contrast loading: constant weight, thinned live counts.
+        # Each cell keeps the first ~ppc * n/n_max of its ppc sub-lattice
+        # particles (deterministic: sub-lattice rank (idx+1/2)/ppc < n/n_max),
+        # so live counts follow the profile while every survivor carries the
+        # same weight — per-tile work now genuinely contrasts (the
+        # load-balance stress axis the weight mode cannot exercise).
+        n_max = jnp.max(n)
+        sub_rank = ((m * ppc_x + l).astype(dtype) + 0.5) / spec.ppc  # [per_tile]
+        keep = sub_rank[None, :] < (n / jnp.maximum(n_max, 1e-30))
+        w = jnp.where(keep, n_max * (domain.dx * domain.dy / spec.ppc), 0.0)
+    else:
+        w = n * (domain.dx * domain.dy / spec.ppc)
 
     # Momenta: drift + thermal.
     kx, ky, kz = jax.random.split(key, 3)

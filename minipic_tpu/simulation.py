@@ -70,6 +70,11 @@ class StepDiag(NamedTuple):
     kinetic_energy: jax.Array  # [n_species]
     overflow: jax.Array  # particles dropped at rebin
     momentum: jax.Array  # [n_species, 3] total w*u per species
+    # Live particles per shard, all species — the per-chip WORK census
+    # (occupancy-bounded kernels cost ~ live particles, so max/mean over
+    # this array is the straggler skew; parallel/balance.py).  Shape
+    # [rows*cols] sharded, [1] single-device.
+    shard_live: jax.Array
 
 
 def _tile_origins(tiling, dtype):
@@ -307,6 +312,16 @@ def build_step(deck: Deck):
             deck.rebin_mode == "incremental"
             or (deck.rebin_mode == "auto" and backend == "pallas")
         )
+        # Interval schedule: when the guard affords one extra CFL step, a
+        # mover-buffer overflow defers the tile losslessly to the next step
+        # (exactly the drift trigger's deferral budget) instead of forcing
+        # an immediate drop-and-count.  The deferred-backlog marker rides
+        # SimState.drift, unused by this schedule otherwise (0 = clean,
+        # 1 = backlog pending).
+        interval_grace = use_incremental and (
+            (deck.rebin_interval + 1) * deck.cfl_step_cells()
+            <= deck.guard - deck.shape_reach()
+        )
 
         if trigger_drift:
             if state.drift is None:
@@ -322,11 +337,19 @@ def build_step(deck: Deck):
             force_flag = drift_now > deck.force_threshold()
         else:
             drift_now = state.drift
-            do_rebin_pred = (
+            sched = (
                 None if deck.rebin_interval == 1
                 else state.step % deck.rebin_interval == 0
             )
-            force_flag = True  # interval mode has no deferral budget
+            if interval_grace:
+                pending_prev = state.drift > 0.5
+                do_rebin_pred = (
+                    None if sched is None else (sched | pending_prev)
+                )
+                force_flag = pending_prev  # drain the backlog, then drop
+            else:
+                do_rebin_pred = sched
+                force_flag = True  # no deferral budget in the guard
 
         overflow = jnp.zeros((), jnp.int32)
         pending_total = jnp.zeros((), jnp.int32)
@@ -366,12 +389,23 @@ def build_step(deck: Deck):
             drift_now = jnp.where(
                 do_rebin_pred & (pending_total == 0), 0.0, drift_now
             )
+        elif interval_grace:
+            did = (
+                jnp.bool_(True) if do_rebin_pred is None else do_rebin_pred
+            )
+            drift_now = jnp.where(
+                did, (pending_total > 0).astype(jnp.float32), drift_now
+            )
 
+        live = jnp.zeros((), jnp.int32)
+        for p in binned:
+            live = live + jnp.sum((p.w > 0).astype(jnp.int32))
         diag = StepDiag(
             field_energy=field_energy(f, dx, dy),
             kinetic_energy=jnp.stack(kes) if kes else jnp.zeros((0,), deck.dtype),
             overflow=overflow,
             momentum=jnp.stack(moms) if moms else jnp.zeros((0, 3), deck.dtype),
+            shard_live=live.reshape(1),
         )
         new_state = SimState(
             fields=f, species=tuple(binned), step=state.step + 1,

@@ -185,3 +185,56 @@ def test_sharded_incremental_rebin_matches_single_device():
         deck.species[i].ppc * deck.nx * deck.ny for i in range(len(deck.species))
     )
     assert n_ref == n_sh == n0
+
+
+def test_exchange_kills_multi_hop_particles():
+    """A live slot >1 shard-hop away (only possible via corrupted
+    positions — Deck.validate bounds physical drift to one hop) must be
+    zero-weighted AND counted as dropped, never shipped a clipped hop with
+    live weight (parallel/exchange.py multi-hop guard)."""
+    from minipic_tpu.core.state import ParticleState
+    from minipic_tpu.parallel.exchange import exchange_particles
+
+    r, c = 2, 4
+    mesh = _mesh(r, c)
+    nx = ny = 64
+    nx_l, ny_l = nx // c, ny // r  # 16 x 32 blocks
+    t_local, cap, xcap = 2, 8, 8
+
+    def local(_):
+        ry = jax.lax.axis_index("ry")
+        rx = jax.lax.axis_index("rx")
+        x0 = rx * nx_l
+        y0 = ry * ny_l
+        z = jnp.zeros((t_local, cap))
+        fx = x0.astype(jnp.float64)
+        # slot 0: stays; slot 1: one hop right; slot 2: TWO hops right.
+        x = z.at[0, 0].set((fx + 5.0) % nx)
+        x = x.at[0, 1].set((fx + nx_l + 5.0) % nx)
+        x = x.at[0, 2].set((fx + 2 * nx_l + 5.0) % nx)
+        y = z + (y0.astype(jnp.float64) + 3.0)
+        w = z.at[0, 0:3].set(1.0)
+        p = ParticleState(x, y, z, z, z, w)
+        merged, dropped = exchange_particles(
+            p, block_x0=x0, block_y0=y0, block_nx=nx_l, block_ny=ny_l,
+            nx=nx, ny=ny, rows=r, cols=c, cap=xcap,
+        )
+        live = jnp.sum((merged.w > 0).astype(jnp.int32))
+        # every live slot in merged must now belong to THIS block
+        col_ok = jnp.floor_divide(merged.x.astype(jnp.int32), nx_l) == rx
+        ok = jnp.sum((merged.w > 0) & ~col_ok)
+        return (
+            jax.lax.psum(dropped, ("ry", "rx")),
+            jax.lax.psum(live, ("ry", "rx")),
+            jax.lax.psum(ok, ("ry", "rx")),
+        )
+
+    dropped, live, misrouted = jax.jit(
+        jax.shard_map(
+            local, mesh=mesh, in_specs=P(("ry", "rx")), out_specs=(P(), P(), P()),
+        )
+    )(jnp.zeros(r * c))
+    n_sh = r * c
+    assert int(dropped) == n_sh  # the 2-hop slot, once per shard
+    assert int(live) == 2 * n_sh  # stayer + the arrived 1-hop neighbor
+    assert int(misrouted) == 0

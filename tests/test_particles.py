@@ -191,3 +191,38 @@ def test_deposit_total_current_matches_velocity():
     np.testing.assert_allclose(
         float(jz.sum()) * dx * dy, float((qw * vz).sum()), rtol=1e-12
     )
+
+
+def test_count_mode_loading_thins_counts_not_weights():
+    """load_mode='count': constant weight, live counts follow the density
+    profile, and total charge matches the weight-mode load (same plasma,
+    different discretization)."""
+    import jax.numpy as jnp
+    from minipic_tpu.core.config import Deck, SpeciesSpec
+
+    def ramp(x, y):
+        return 0.1 + 3.9 * (x / 16.0)
+
+    base = dict(charge=-1.0, mass=1.0, ppc=16, density=ramp)
+    deck_kw = dict(box_x=16.0, box_y=16.0, nx=32, ny=32, tile_nx=8, tile_ny=8)
+    from minipic_tpu.particles.species import load_species
+
+    dw = Deck(species=(SpeciesSpec("w", **base),), **deck_kw)
+    dc = Deck(species=(SpeciesSpec("c", load_mode="count", **base),), **deck_kw)
+    cap = dw.capacity()
+    import jax
+
+    pw = load_species(dw.species[0], dw.domain, dw.tiling, cap, jax.random.PRNGKey(0))
+    pc = load_species(dc.species[0], dc.domain, dc.tiling, cap, jax.random.PRNGKey(0))
+
+    # constant weight among live slots
+    live_w = np.asarray(pc.w)[np.asarray(pc.w) > 0]
+    assert live_w.size and np.allclose(live_w, live_w[0])
+    # counts follow the ramp: right-edge tiles hold many more than left
+    counts = np.asarray(jnp.sum((pc.w > 0).astype(jnp.int32), axis=1))
+    counts = counts.reshape(dc.tiling.tile_rows, dc.tiling.tile_cols)
+    assert counts[:, -1].min() > 5 * counts[:, 0].max()
+    # same total charge as the weight-mode load to the thinning quantization
+    qw = float(np.asarray(pw.w).sum())
+    qc = float(np.asarray(pc.w).sum())
+    assert abs(qc - qw) / qw < 0.05, (qc, qw)

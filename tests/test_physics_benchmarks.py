@@ -10,8 +10,61 @@ import numpy as np
 import pytest
 
 from minipic_tpu.core.config import Deck, SpeciesSpec
-from minipic_tpu.diag.analysis import growth_rate
+from minipic_tpu.diag.analysis import (
+    field_spectrum_x,
+    growth_rate,
+    two_stream_growth_theory,
+)
 from minipic_tpu.simulation import Simulation
+
+
+@pytest.mark.slow
+def test_two_stream_growth_rate_vs_theory():
+    """QUANTITATIVE kinetic validation: the seeded two-stream mode grows at
+    the exact linear-theory rate (the quartic dispersion relation in
+    two_stream_growth_theory), not just 'grows by 100x'.
+
+    Cold symmetric beams at +-u0, mode seeded near peak growth
+    (k v0 = 0.866 wb -> gamma ~ wb/2).  The fit window [3e-4, 3e-2] in
+    mode-power units skips the early non-eigenmode transient (the seed
+    projects onto all four dispersion roots; the oscillatory pair
+    contaminates the slope until the growing root dominates, ~3/gamma) and
+    stops before trapping saturation (~2.4).  Calibrated ratio 1.01 +- 0.05
+    across windows; asserted to 15%."""
+    u0 = 0.1
+    v0 = u0 / math.sqrt(1 + u0 * u0)
+    wb = math.sqrt(0.5)  # each beam loads density 1/2
+    k = 0.866 * wb / v0
+    lx = 2 * math.pi / k
+    deck = Deck(
+        box_x=lx, box_y=lx / 8, nx=64, ny=8, tile_nx=8, tile_ny=8,
+        species=(
+            SpeciesSpec("right", charge=-1.0, mass=1.0, ppc=16, ux=u0, uth=0.0025),
+            SpeciesSpec("left", charge=-1.0, mass=1.0, ppc=16, ux=-u0, uth=0.0025),
+            SpeciesSpec("ion", charge=+1.0, mass=1e9, ppc=16),
+        ),
+        precision="f64",
+    )
+    sim = Simulation(deck, seed=7)
+    sp = list(sim.state.species)
+    for i in (0, 1):
+        p = sp[i]
+        sp[i] = p._replace(w=p.w * 0.5, px=p.px + 1e-4 * jnp.sin(k * p.x * deck.dx))
+    sim.state = sim.state._replace(species=tuple(sp))
+
+    gtheory = two_stream_growth_theory(k, v0, wb)
+    times, p1 = [], []
+    for i in range(280):
+        sim.step(10)
+        spec = field_spectrum_x(np.asarray(sim.state.fields.ex))
+        times.append((i + 1) * 10 * deck.dt)
+        p1.append(spec[1])
+    p1 = np.asarray(p1)
+    times = np.asarray(times)
+    w = np.where((p1 > 3e-4) & (p1 < 3e-2))[0]
+    assert len(w) > 20, "growth window never reached — instability failed"
+    gam = growth_rate(times[w], p1[w])
+    assert abs(gam - gtheory) / gtheory < 0.15, (gam, gtheory, gam / gtheory)
 
 
 @pytest.mark.slow
@@ -52,11 +105,15 @@ def test_weibel_magnetic_energy_grows():
         assert int(d.overflow) == 0
     eb = np.asarray(eb)
     assert eb[-5:].min() > 100 * eb[0], (eb[0], eb[-1])
-    # Fitted linear-phase rate within a factor ~2.5 of the beta0*wp scale.
+    # Fitted linear-phase rate vs the beta0*wp scale.  The cold-beam
+    # maximum is ~beta0/sqrt(gamma0) = 0.93 beta0 at uz=0.6; growth from
+    # broadband noise weights the whole unstable k-band, measured at
+    # 0.66 +- 0.01 beta0 across seeds (11, 12, 13) — asserted to a
+    # calibrated 0.5-0.85 window, not the old 0.3-2.5 order-of-magnitude.
     i0, i1 = 3, int(np.argmax(eb)) or len(eb)
     gam = growth_rate(times[i0:i1], eb[i0:i1])
     beta0 = uz / math.sqrt(1 + uz * uz)
-    assert 0.3 * beta0 < gam < 2.5 * beta0, (gam, beta0)
+    assert 0.5 * beta0 < gam < 0.85 * beta0, (gam, beta0, gam / beta0)
     # Energy conserved through the growth phase.
     assert abs(tot - tot0) / tot0 < 5e-3
 
