@@ -27,6 +27,7 @@ kernel's occupancy guard uses watermarks, and a periodic full-sort defrag
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -45,6 +46,34 @@ def _upper_tri(n):
     r = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
     return (r <= c).astype(jnp.float32)
+
+
+def _permute_dot(payload, p_mat, wsplit: bool):
+    """payload [R, kc] x permutation p_mat [kc_out, kc] -> [R, kc_out],
+    contracting the lane axis; the payload must pass through EXACTLY.
+
+    wsplit: the permutation matrix is 0/1 — exactly representable in bf16 —
+    so only the payload needs word-splitting: three exact bf16 words
+    stacked along K against three copies of p_mat, ONE DEFAULT-precision
+    issue.  Exact reconstruction (each output column sums one payload
+    column per word), at HALF the MAC count of XLA-HIGHEST's six
+    word-pair passes (which cannot know p_mat needs only one word)."""
+    if not wsplit:
+        return jax.lax.dot_general(
+            payload, p_mat.astype(jnp.float32),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    w0 = payload.astype(jnp.bfloat16)
+    r = payload - w0.astype(jnp.float32)
+    w1 = r.astype(jnp.bfloat16)
+    w2 = (r - w1.astype(jnp.float32)).astype(jnp.bfloat16)
+    pw = jnp.concatenate([w0, w1, w2], axis=1)
+    pm = p_mat.astype(jnp.bfloat16)
+    pmw = jnp.concatenate([pm, pm, pm], axis=1)
+    return jax.lax.dot_general(
+        pw, pmw, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    )
 
 
 def _scan_compact(mask, payload, kc: int):
@@ -93,17 +122,17 @@ def _scan_compact(mask, payload, kc: int):
 
 
 def _extract_kernel(
-    origin_ref,  # scalar-prefetch [3]: (row0, col0, force) — see below
+    rc_ref,  # scalar-prefetch [2T+1]: tile rows, tile cols, force flag
     x_ref, y_ref, px_ref, py_ref, pz_ref, w_ref,  # in: [1, 1, K]
     wo_ref,  # out: [1, 1, K] new weights
     mov_ref,  # out: [1, N_CH, B] outgoing buffer (channel-major)
     *,
     tile_nx: int, tile_ny: int, tile_cols: int, tile_rows: int,
-    kc: int, n_chunks: int, b_cap: int,
+    kc: int, n_chunks: int, b_cap: int, n_tiles: int, wsplit: bool = True,
 ):
     t = pl.program_id(0)
-    my_col = (origin_ref[1] + t % tile_cols).astype(jnp.float32)
-    my_row = (origin_ref[0] + t // tile_cols).astype(jnp.float32)
+    my_row = rc_ref[t].astype(jnp.float32)
+    my_col = rc_ref[n_tiles + t].astype(jnp.float32)
 
     mov_ref[...] = jnp.zeros(mov_ref.shape, mov_ref.dtype)
     tri = _upper_tri(kc)
@@ -142,7 +171,7 @@ def _extract_kernel(
     # force != 0: extract anyway, dropping the overflow (the caller's
     # last-resort drain when the drift budget is exhausted and deferral
     # is no longer safe; losses are counted and surfaced).
-    forced = origin_ref[2] != 0
+    forced = rc_ref[2 * n_tiles] != 0
     extract_tile = fits_tile | forced
 
     def scoped(pend_ref):
@@ -168,11 +197,10 @@ def _extract_kernel(
             wm = jnp.maximum(wm, jnp.max(stay_idx))
 
             # chunk-local compaction: rank (1-based) via triangular matmul.
-            # bf16 accumulates integers exactly up to 256, so chunks of
-            # <= 256 slots rank correctly in ONE MXU pass; larger chunks
-            # need the 6-pass f32 product.
-            rank_prec = (jax.lax.Precision.DEFAULT if kc <= 256
-                         else jax.lax.Precision.HIGHEST)
+            # DEFAULT is exact at ANY kc: the 0/1 operands are exactly
+            # representable in bf16 and the MXU accumulates in f32
+            # (preferred_element_type), so integer ranks are exact to 2^24.
+            rank_prec = jax.lax.Precision.DEFAULT
             rank = jax.lax.dot_general(
                 mf, tri, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
                 precision=rank_prec,
@@ -185,11 +213,8 @@ def _extract_kernel(
                  wc * mf, jnp.zeros((2, kc), jnp.float32)],
                 axis=0,
             )  # [N_CH, kc]
-            compact = jax.lax.dot_general(
-                payload, p_mat.astype(jnp.float32),
-                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,  # payload must pass through exactly
-            )  # [N_CH, kc] -- mover m in column m
+            compact = _permute_dot(payload, p_mat, wsplit)
+            # [N_CH, kc] -- mover m in column m
 
             # Append at the pending offset: rotate right by pc (< kc, and
             # pc + cnt <= 2*kc so live data never wraps) and accumulate.
@@ -255,10 +280,36 @@ def _extract_kernel(
     pl.run_scoped(scoped, pltpu.VMEM((N_CH, 2 * kc), jnp.float32))
 
 
+def _tile_rc(t_total, tile_rows, tile_cols, row0, col0, force, tile_ids=None):
+    """[2T+1] scalar-prefetch vector: per-tile global row ids, col ids,
+    force flag.  Default layout is the contiguous local grid (row0/col0
+    offsets); `tile_ids` (global gid per local bucket, any order) overrides
+    it — the striped/balanced placement path (parallel/balanced.py)."""
+    if tile_ids is not None:
+        rows = (tile_ids // tile_cols).astype(jnp.int32)
+        cols = (tile_ids % tile_cols).astype(jnp.int32)
+    else:
+        tl = jnp.arange(t_total, dtype=jnp.int32)
+        rows = jnp.asarray(row0, jnp.int32) + tl // tile_cols
+        cols = jnp.asarray(col0, jnp.int32) + tl % tile_cols
+    return jnp.concatenate(
+        [rows, cols, jnp.asarray(force, jnp.int32).reshape(1)]
+    )
+
+
+def _wsplit_default(wsplit):
+    # Default ON: measured on v5e at 1e8 slots, the word-split permute
+    # takes the split kernel 527 -> 421 ms at kc=256 (and 730 -> 622 at
+    # kc=128); exactness is unconditional (see _permute_dot).
+    if wsplit is None:
+        return os.environ.get("MINIPIC_REBIN_WSPLIT", "1") == "1"
+    return wsplit
+
+
 def extract_movers(
     p: ParticleState, *, tile_rows: int, tile_cols: int, tile_ny: int,
-    tile_nx: int, b_cap: int, kc: int = 128, interpret: bool = False,
-    row0=0, col0=0, force=False, vma_axes=(),
+    tile_nx: int, b_cap: int, kc: int = 256, interpret: bool = False,
+    row0=0, col0=0, force=False, vma_axes=(), wsplit=None, tile_ids=None,
 ):
     """Returns (p with extracted leavers' w zeroed, movers ParticleState
     [T, b_cap] flat-compacted per tile, watermark [T] i32, pending [T] i32).
@@ -291,6 +342,7 @@ def extract_movers(
         _extract_kernel,
         tile_nx=tile_nx, tile_ny=tile_ny, tile_cols=tile_cols,
         tile_rows=tile_rows, kc=kc, n_chunks=cap // kc, b_cap=b_cap,
+        n_tiles=t_total, wsplit=_wsplit_default(wsplit),
     )
     pin = pl.BlockSpec((1, 1, cap), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM)
     mspec = pl.BlockSpec((1, N_CH, b_cap), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM)
@@ -298,10 +350,8 @@ def extract_movers(
     def r3(a):
         return a.reshape(t_total, 1, cap)
 
-    origin = jnp.stack(
-        [jnp.asarray(row0, jnp.int32), jnp.asarray(col0, jnp.int32),
-         jnp.asarray(force, jnp.int32)]
-    )
+    origin = _tile_rc(t_total, tile_rows, tile_cols, row0, col0, force,
+                      tile_ids)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(t_total,),
@@ -334,13 +384,14 @@ def extract_movers(
 
 
 def _split_kernel(
-    origin_ref,  # scalar-prefetch [3]: (row0, col0, force)
+    rc_ref,  # scalar-prefetch [2T+1]: tile rows, tile cols, force flag
     x_ref, y_ref, px_ref, py_ref, pz_ref, w_ref,  # in: [1, 1, K] (aliased)
     xo_ref, yo_ref, pxo_ref, pyo_ref, pzo_ref, wo_ref,  # out: [1, 1, K]
     mov_ref,  # out: [1, N_CH, B] outgoing buffer (channel-major)
     *,
     tile_nx: int, tile_ny: int, tile_cols: int, tile_rows: int,
-    kc: int, n_chunks: int, b_cap: int, cap: int,
+    kc: int, n_chunks: int, b_cap: int, cap: int, n_tiles: int,
+    wsplit: bool = True,
 ):
     """Stable split of one bucket in a single streaming pass: stayers
     compacted live-first IN PLACE (via aliasing), movers compacted into
@@ -354,14 +405,14 @@ def _split_kernel(
     forced.  Stats in mov_ref channel 6: lane 0 = stay count (the new
     watermark), lane 1 = pending/dropped."""
     t = pl.program_id(0)
-    my_col = (origin_ref[1] + t % tile_cols).astype(jnp.float32)
-    my_row = (origin_ref[0] + t // tile_cols).astype(jnp.float32)
+    my_row = rc_ref[t].astype(jnp.float32)
+    my_col = rc_ref[n_tiles + t].astype(jnp.float32)
 
     mov_ref[...] = jnp.zeros(mov_ref.shape, mov_ref.dtype)
     tri = _upper_tri(kc)
     out_row = jax.lax.broadcasted_iota(jnp.int32, (kc, kc), 0)
-    rank_prec = (jax.lax.Precision.DEFAULT if kc <= 256
-                 else jax.lax.Precision.HIGHEST)
+    # DEFAULT rank is exact at any kc: 0/1 bf16 operands, f32 accumulate.
+    rank_prec = jax.lax.Precision.DEFAULT
     outs = (xo_ref, yo_ref, pxo_ref, pyo_ref, pzo_ref, wo_ref)
     ins = (x_ref, y_ref, px_ref, py_ref, pz_ref, w_ref)
 
@@ -375,7 +426,7 @@ def _split_kernel(
     )
     total_movers = jnp.sum(mov_all.astype(jnp.int32)).astype(jnp.int32)
     fits_tile = total_movers <= (b_cap // kc) * kc
-    forced = origin_ref[2] != 0
+    forced = rc_ref[2 * n_tiles] != 0
     extract_tile = fits_tile | forced
 
     def scoped(pend_s_ref, pend_m_ref):
@@ -397,11 +448,7 @@ def _split_kernel(
             )
             cnt = rank[0, kc - 1].astype(jnp.int32)
             p_mat = ((rank - 1.0) == out_row.astype(jnp.float32)) & mask
-            comp = jax.lax.dot_general(
-                payload, p_mat.astype(jnp.float32),
-                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
+            comp = _permute_dot(payload, p_mat, wsplit)
             cpad = jnp.concatenate(
                 [comp, jnp.zeros((n_rows, kc), jnp.float32)], axis=1
             )
@@ -515,8 +562,8 @@ def _split_kernel(
 
 def split_buckets(
     p: ParticleState, *, tile_rows: int, tile_cols: int, tile_ny: int,
-    tile_nx: int, b_cap: int, kc: int = 128, interpret: bool = False,
-    row0=0, col0=0, force=False, vma_axes=(),
+    tile_nx: int, b_cap: int, kc: int = 256, interpret: bool = False,
+    row0=0, col0=0, force=False, vma_axes=(), wsplit=None, tile_ids=None,
 ):
     """One-pass stable split: returns (p with stayers compacted live-first
     and zero tail, movers [T, b_cap] compacted per tile, stay counts [T]
@@ -524,7 +571,12 @@ def split_buckets(
 
     Replaces extract_movers + defrag_buckets as the re-bin workhorse: the
     bucket never develops watermark holes, so the append stage always
-    fits unless census truly exceeds capacity."""
+    fits unless census truly exceeds capacity.
+
+    kc=256 measured optimal on v5e (1e8 slots: kc 128/256/896 ->
+    622/421/545 ms with the word-split permute): bigger chunks shrink the
+    serial per-chunk carry chain faster than the O(kc)/slot permute MACs
+    grow, until MXU throughput catches up."""
     t_total, cap = p.num_tiles, p.capacity
     if cap % kc or kc > b_cap:
         for d in (128, 256, 384, 512):
@@ -542,6 +594,7 @@ def split_buckets(
         _split_kernel,
         tile_nx=tile_nx, tile_ny=tile_ny, tile_cols=tile_cols,
         tile_rows=tile_rows, kc=kc, n_chunks=cap // kc, b_cap=b_cap, cap=cap,
+        n_tiles=t_total, wsplit=_wsplit_default(wsplit),
     )
     pin = pl.BlockSpec((1, 1, cap), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM)
     mspec = pl.BlockSpec((1, N_CH, b_cap), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM)
@@ -549,10 +602,8 @@ def split_buckets(
     def r3(a):
         return a.reshape(t_total, 1, cap)
 
-    origin = jnp.stack(
-        [jnp.asarray(row0, jnp.int32), jnp.asarray(col0, jnp.int32),
-         jnp.asarray(force, jnp.int32)]
-    )
+    origin = _tile_rc(t_total, tile_rows, tile_cols, row0, col0, force,
+                      tile_ids)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(t_total,),
@@ -587,7 +638,7 @@ def split_buckets(
 def _defrag_kernel(
     x_ref, y_ref, px_ref, py_ref, pz_ref, w_ref,  # in: [1, 1, K] (aliased)
     *refs,  # [6 incoming [1,1,B] if merge] + 6 outs [1,1,K] + cnt [1,1,128]
-    kc: int, n_chunks: int, in_chunks: int, cap: int,
+    kc: int, n_chunks: int, in_chunks: int, cap: int, wsplit: bool = True,
 ):
     """In-bucket compaction: squeeze w==0 holes out of one tile's bucket,
     live slots first, zero tail — optionally streaming the tile's routed
@@ -605,8 +656,8 @@ def _defrag_kernel(
     cnt_ref = refs[12] if in_chunks else refs[6]
     tri = _upper_tri(kc)
     out_row = jax.lax.broadcasted_iota(jnp.int32, (kc, kc), 0)
-    rank_prec = (jax.lax.Precision.DEFAULT if kc <= 256
-                 else jax.lax.Precision.HIGHEST)
+    # DEFAULT rank is exact at any kc: 0/1 bf16 operands, f32 accumulate.
+    rank_prec = jax.lax.Precision.DEFAULT
 
     def scoped(pend_ref):
         pend_ref[...] = jnp.zeros(pend_ref.shape, pend_ref.dtype)
@@ -620,11 +671,7 @@ def _defrag_kernel(
             )
             cnt = rank[0, kc - 1].astype(jnp.int32)
             p_mat = ((rank - 1.0) == out_row.astype(jnp.float32)) & (wc > 0)
-            compact = jax.lax.dot_general(
-                payload, p_mat.astype(jnp.float32),
-                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,  # exact pass-through
-            )
+            compact = _permute_dot(payload, p_mat, wsplit)
             cpad = jnp.concatenate(
                 [compact, jnp.zeros((6, kc), jnp.float32)], axis=1
             )
@@ -710,7 +757,7 @@ def _defrag_kernel(
 
 def defrag_buckets(
     p: ParticleState, incoming: ParticleState | None = None, *,
-    kc: int = 128, interpret: bool = False, vma_axes=(),
+    kc: int = 128, interpret: bool = False, vma_axes=(), wsplit=None,
 ):
     """Compact every tile bucket in place (live-first, zero tail),
     optionally merge-appending each tile's routed incoming buffer in the
@@ -758,7 +805,7 @@ def defrag_buckets(
     outs = pl.pallas_call(
         functools.partial(
             _defrag_kernel, kc=kc, n_chunks=cap // kc,
-            in_chunks=b_in // kc, cap=cap,
+            in_chunks=b_in // kc, cap=cap, wsplit=_wsplit_default(wsplit),
         ),
         grid=(t_total,),
         in_specs=in_specs,

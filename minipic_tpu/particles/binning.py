@@ -71,20 +71,36 @@ def rebin_flat(
     away beforehand); capacity overflow is counted and returned.
     """
     num_tiles = tile_rows * tile_cols
+    col = jnp.floor(flat.x / tile_nx).astype(jnp.int32) - col0
+    row = jnp.floor(flat.y / tile_ny).astype(jnp.int32) - row0
+    in_grid = (col >= 0) & (col < tile_cols) & (row >= 0) & (row < tile_rows)
+    tid = (row * tile_cols + col).astype(jnp.int32)
+    return rebin_by_tid(flat, tid, in_grid, num_tiles, capacity)
+
+
+def rebin_by_tid(
+    flat: ParticleState,
+    tid: jax.Array,
+    in_grid: jax.Array,
+    num_tiles: int,
+    capacity: int,
+) -> Tuple[ParticleState, jax.Array]:
+    """Filler-key sort with caller-supplied destination buckets: `tid` is
+    each slot's local bucket index and `in_grid` whether the slot belongs
+    to this shard at all.  rebin_flat derives (tid, in_grid) from positions
+    on a contiguous local tile grid; the striped/balanced placement
+    (parallel/balanced.py) derives them from an arbitrary gid -> local
+    map.  Semantics otherwise identical to rebin_flat."""
     n = flat.x.shape[0]
     out_n = num_tiles * capacity
     assert n >= out_n, "slot pool smaller than bucket space"
 
-    col = jnp.floor(flat.x / tile_nx).astype(jnp.int32) - col0
-    row = jnp.floor(flat.y / tile_ny).astype(jnp.int32) - row0
-    in_grid = (col >= 0) & (col < tile_cols) & (row >= 0) & (row < tile_rows)
     alive = (flat.w > 0) & in_grid
     # Live slots *outside* the grid must not exist (wrap/routing handles
     # them); if any slip through, the filler bookkeeping below would assign
     # them as live-weight "fillers" in arbitrary buckets.  Force the slow
     # path and count them.
     off_grid_live = jnp.sum(((flat.w > 0) & ~in_grid).astype(jnp.int32))
-    tid = (row * tile_cols + col).astype(jnp.int32)
 
     # TPU cost model (measured on v5e): a random 12M-element gather ~100 ms,
     # a 7-operand lax.sort ~100 ms *total*, scatter far worse.  So the only
