@@ -249,7 +249,13 @@ def main(argv=None):
             # Adaptive capacity (grow on overflow, shrink after calm) and
             # history both materialize device scalars — keep them on the
             # diag cadence so the hot loop stays async-dispatch only.
-            on_cadence = i % args.diag_every == 0 or i == n_steps
+            # Save steps join the cadence: the save-print below reads the
+            # last history row, which must exist even when save_every is
+            # not a multiple of diag_every (saving already syncs anyway).
+            on_cadence = (
+                i % args.diag_every == 0 or i == n_steps
+                or i % save_every == 0
+            )
             if on_cadence:
                 hist.record(i, deck.dt, diag)
                 ovf = int(ovf_acc)

@@ -68,6 +68,32 @@ def _dot_ss(a, b):
     )
 
 
+def _words3(a):
+    """Exact 3-word bf16 decomposition: a == w0 + w1 + w2 in f32 (each word
+    carries 8 mantissa bits; three cover f32's 24)."""
+    w0 = a.astype(jnp.bfloat16)
+    r = a - w0.astype(jnp.float32)
+    w1 = r.astype(jnp.bfloat16)
+    w2 = (r - w1.astype(jnp.float32)).astype(jnp.bfloat16)
+    return w0, w1, w2
+
+
+def _dot_ss_wsplit(a, b):
+    """The deposit contraction as ONE DEFAULT-precision dot: both operands
+    split into exact bf16 words, the six significant word-pair products
+    (0,0)(0,1)(1,0)(0,2)(1,1)(2,0) stacked along the contraction (lane)
+    axis.  Same MAC count as XLA-HIGHEST's six serialized passes, single
+    issue; dropped cross terms O(2^-32) — identical accuracy standard to
+    the exact gather (word-split trick, see the gather comment)."""
+    a0, a1, a2 = _words3(a)
+    b0, b1, b2 = _words3(b)
+    aw = jnp.concatenate([a0, a0, a1, a0, a1, a2], axis=1)  # [M, 6KC]
+    bw = jnp.concatenate([b0, b1, b0, b2, b1, b0], axis=1)  # [N, 6KC]
+    return jax.lax.dot_general(
+        aw, bw, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+
+
 def _kernel(
     counts_ref,  # scalar-prefetch: [T] live count per tile
     ox_ref, oy_ref,  # scalar-prefetch: [T] int32 tile origins (cell units)
@@ -79,6 +105,8 @@ def _kernel(
     grid: Tuple[int, int] | None,
     gather_mode: str = "exact",
     gather_prec=jax.lax.Precision.HIGHEST,
+    deposit_mode: str = "highest",
+    red_mode: str = "tree",
     body_sub: int = 1,
     tiles_per_block: int = 1,
     ablate: str = "",  # perf instrumentation (scripts/ablate_advance.py)
@@ -110,6 +138,7 @@ def _kernel(
             nxt=nxt, nyt=nyt, g=g, order=order, qm=qm, q=q, dt=dt, dx=dx,
             dy=dy, kc=kc, fused_gather=fused_gather, wrap=wrap, grid=grid,
             gather_mode=gather_mode, gather_prec=gather_prec,
+            deposit_mode=deposit_mode, red_mode=red_mode,
             body_sub=body_sub, abl=abl,
         )
 
@@ -117,7 +146,8 @@ def _kernel(
 def _process_tile(
     ti, t, k, counts_ref, ox_ref, oy_ref, f_refs, p_refs, o_refs, j_refs,
     *, nxt, nyt, g, order, qm, q, dt, dx, dy, kc,
-    fused_gather, wrap, grid, gather_mode, gather_prec, body_sub, abl,
+    fused_gather, wrap, grid, gather_mode, gather_prec, deposit_mode,
+    red_mode, body_sub, abl,
 ):
     x_ref, y_ref, px_ref, py_ref, pz_ref, w_ref = p_refs
     xo_ref, yo_ref, pxo_ref, pyo_ref, pzo_ref = o_refs
@@ -151,7 +181,8 @@ def _process_tile(
                 f_tile, ox_ref[t], oy_ref[t], w,
                 nxt=nxt, nyt=nyt, g=g, order=order, qm=qm, dt=dt, dx=dx,
                 dy=dy, fused_gather=fused_gather, wrap=wrap, grid=grid,
-                gather_mode=gather_mode, gather_prec=gather_prec, abl=abl,
+                gather_mode=gather_mode, gather_prec=gather_prec,
+                deposit_mode=deposit_mode, red_mode=red_mode, abl=abl,
             )
             outs.append(o[:5])
             j_acc = o[5:8] if j_acc is None else tuple(
@@ -181,7 +212,8 @@ def _process_tile(
 def _sub_chunk(
     x, y, px, py, pz, qw, wgt, f_refs, ox_s, oy_s, kc,
     *, nxt, nyt, g, order, qm, dt, dx, dy,
-    fused_gather, wrap, grid, gather_mode, gather_prec, abl,
+    fused_gather, wrap, grid, gather_mode, gather_prec, deposit_mode,
+    red_mode, abl,
 ):
     """One lane-slice of the fused pipeline; returns
     (x', y', px', py', pz', jx, jy, jz) with J as [nyg/ nxg] window
@@ -378,17 +410,71 @@ def _sub_chunk(
         # this removed a per-chunk [nxg, nxg] x [nxg, 2KC] prefix matmul
         # that cost as much MXU time as the gather itself.
         if "prep" in abl:
-            lhs = jnp.concatenate([sy_i, dsy, sy_i, dsy], axis=0)
-            rhs = jnp.concatenate([dsx, sx_i, dsx], axis=0)
+            lhs_parts = (sy_i, dsy, sy_i, dsy)
+            rhs_parts = (dsx, sx_i, dsx)
         else:
-            lhs = jnp.concatenate(
-                [by1, dsy * (qw * (-1.0 / (dt * dx))), sy_i * cz, dsy * cz], axis=0
-            )  # [4*nyg, KC]
-            rhs = jnp.concatenate(
-                [dsx, bx1, 0.5 * sx_i + (1.0 / 3.0) * dsx], axis=0
-            )  # [3*nxg, KC]
+            lhs_parts = (  # 4 x [nyg, KC]
+                by1, dsy * (qw * (-1.0 / (dt * dx))), sy_i * cz, dsy * cz
+            )
+            rhs_parts = (dsx, bx1, 0.5 * sx_i + (1.0 / 3.0) * dsx)  # 3 x [nxg, KC]
+        lhs = rhs = None
+        if not (deposit_mode == "kfold" and 8 * nyg <= 128 and 6 * nxg <= 128
+                and kc % 2 == 0):
+            lhs = jnp.concatenate(lhs_parts, axis=0)  # [4*nyg, KC]
+            rhs = jnp.concatenate(rhs_parts, axis=0)  # [3*nxg, KC]
         if "depdot" in abl:
-            dep = jnp.zeros((lhs.shape[0], rhs.shape[0]), jnp.float32)
+            dep = jnp.zeros((4 * nyg, 3 * nxg), jnp.float32)
+        elif deposit_mode == "kfold" and 8 * nyg <= 128 and 6 * nxg <= 128 \
+                and kc % 2 == 0:
+            # K-fold MXU packing: the [4nyg, 3nxg] = [64, 48] output tile
+            # uses 19% of the 128x128 array, so the HIGHEST deposit dot is
+            # array-utilization bound, not MAC bound.  Reshape the two
+            # K-halves onto the row/col axes instead of masking them
+            # block-diagonally (pack2's mistake — same stream length,
+            # doubled operand bytes): lhs2 [8nyg, KC/2] stacks lhs's K-
+            # halves on M, rhs2 [6nxg, KC/2] on N.  The dot computes four
+            # blocks in HALF the stream slots; the two diagonal blocks are
+            # the exact HIGHEST half-sums, added in f32 — the same partial-
+            # sum add the accumulator performs, just reassociated (still
+            # round-off-exact continuity; verified on chip).  Operand bytes
+            # unchanged vs the unpacked concat.
+            h = kc // 2
+            lhs2 = jnp.concatenate(
+                [p[:, s] for s in (slice(0, h), slice(h, None))
+                 for p in lhs_parts], axis=0
+            )  # [8nyg, KC/2]
+            rhs2 = jnp.concatenate(
+                [p[:, s] for s in (slice(0, h), slice(h, None))
+                 for p in rhs_parts], axis=0
+            )  # [6nxg, KC/2]
+            dep2 = _dot_ss(lhs2, rhs2)
+            dep = dep2[: 4 * nyg, : 3 * nxg] + dep2[4 * nyg :, 3 * nxg :]
+        elif deposit_mode == "wsplit":
+            # NEGATIVE RESULT (measured 146-159 vs 130 ms at order 2):
+            # the word-extraction VPU cost exceeds what the single issue
+            # saves — unlike the gather, the deposit's 6 HIGHEST passes
+            # stream a large K and were not latency-bound.  Kept for the
+            # record behind MINIPIC_DEPOSIT_MODE.
+            dep = _dot_ss_wsplit(lhs, rhs)  # [4*nyg, 3*nxg]
+        elif deposit_mode == "pack2" and 8 * nyg <= 128 and 6 * nxg <= 128:
+            # Block-diagonal 2-way K-split: the [4nyg, 3nxg] = [64, 48]
+            # output tile uses 18% of the 128x128 MXU array; packing the
+            # two K-halves as [[A,0],[0,B]] fills [128, 96] with the SAME
+            # MAC count, halving the K-stream length per pass.  Exact:
+            # zero blocks contribute exact zeros, diagonal blocks are the
+            # original HIGHEST products, and the final add is one f32 add
+            # of partial sums the accumulator would have done anyway.
+            h = kc // 2
+            kmask = jax.lax.broadcasted_iota(jnp.int32, (1, kc), 1) < h
+            z = jnp.float32(0.0)
+            lhs2 = jnp.concatenate(
+                [jnp.where(kmask, lhs, z), jnp.where(kmask, z, lhs)], axis=0
+            )  # [8nyg, KC]
+            rhs2 = jnp.concatenate(
+                [jnp.where(kmask, rhs, z), jnp.where(kmask, z, rhs)], axis=0
+            )  # [6nxg, KC]
+            dep2 = _dot_ss(lhs2, rhs2)
+            dep = dep2[: 4 * nyg, : 3 * nxg] + dep2[4 * nyg :, 3 * nxg :]
         else:
             dep = _dot_ss(lhs, rhs)  # [4*nyg, 3*nxg]
         jx = dep[0:nyg, 0:nxg]
@@ -430,6 +516,7 @@ def fused_push_deposit(
     tiles_per_block: int = 0,
     return_disp: bool = False,
     ablate: str = "",
+    deposit_mode: str = "",
     vma_axes=(),
 ):
     """Returns (pushed ParticleState, (jx, jy, jz) tile stacks
@@ -481,11 +568,18 @@ def fused_push_deposit(
     if kc % body_sub or (kc // body_sub) % 128:
         body_sub = 1
 
+    import os as _os
+
+    # Experiment knob (promoted to a Deck field if it wins): the exact
+    # deposit contraction as one DEFAULT word-split issue vs XLA-HIGHEST.
+    if not deposit_mode:
+        deposit_mode = _os.environ.get("MINIPIC_DEPOSIT_MODE", "highest")
     kernel = functools.partial(
         _kernel,
         nxt=tile_nx, nyt=tile_ny, g=g, order=order,
         qm=qm, q=q, dt=dt, dx=dx, dy=dy, kc=kc,
         fused_gather=fused_gather, wrap=wrap, grid=grid, ablate=ablate,
+        deposit_mode=deposit_mode,
         body_sub=body_sub, tiles_per_block=tp,
         gather_mode=gather_precision,
         # The split (non-fused) path has no word-stacked layout; Mosaic

@@ -41,6 +41,7 @@ def main():
     ap.add_argument("--grid", type=int, default=512)
     ap.add_argument("--kchunk", type=int, default=4096)
     ap.add_argument("--bodysub", type=int, default=0)
+    ap.add_argument("--order", type=int, default=1)
     args = ap.parse_args()
 
     grid = args.grid
@@ -48,7 +49,8 @@ def main():
     deck = Deck(
         box_x=grid / 10.0, box_y=grid / 10.0, nx=grid, ny=grid,
         tile_nx=args.tile, tile_ny=args.tile, guard=args.guard,
-        species=(SpeciesSpec("ele", charge=-1.0, mass=1.0, ppc=ppc, uth=0.05),),
+        species=(SpeciesSpec("ele", charge=-1.0, mass=1.0, ppc=ppc, uth=0.05,
+                             shape_order=args.order),),
         precision="f32", capacity_headroom=1.1, kchunk=args.kchunk,
     )
     sim = Simulation(deck)
@@ -71,7 +73,7 @@ def main():
     def run(ablate, gather="exact"):
         def f(pp, ft):
             return fused_push_deposit(
-                pp, ft, counts, (ox, oy), qm=-1.0, q=-1.0, order=1,
+                pp, ft, counts, (ox, oy), qm=-1.0, q=-1.0, order=args.order,
                 tile_ny=tiling.tile_ny, tile_nx=tiling.tile_nx, g=g,
                 dt=deck.dt, dx=deck.dx, dy=deck.dy,
                 kc=(p.capacity if deck.kchunk <= 0 else deck.kchunk),
@@ -87,7 +89,9 @@ def main():
     print(f"fast-gather      {t*1e3:8.1f} ms   -> HIGHEST 6-pass ~{(t_full-t)*1e3:.1f} ms", flush=True)
     t = run("", gather="f32x3")
     print(f"f32x3-gather     {t*1e3:8.1f} ms   (bf16x3, ~1e-6 force err)", flush=True)
-    for ab in ("red", "red,boris,esirkepov,prep,stagger-evals",
+    for ab in ("red", "boris", "esirkepov", "prep", "stagger-evals",
+               "depdot", "evals",
+               "red,boris,esirkepov,prep,stagger-evals",
                "red,boris,esirkepov,prep,stagger-evals,depdot",
                "red,boris,esirkepov,prep,stagger-evals,depdot,evals"):
         t = run(ab)

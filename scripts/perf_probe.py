@@ -45,6 +45,7 @@ def main():
     ap.add_argument("--headroom", type=float, default=1.1)
     ap.add_argument("--gather", default="exact")
     ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--order", type=int, default=1)
     args = ap.parse_args()
 
     from minipic_tpu.core.config import Deck, SpeciesSpec
@@ -62,7 +63,8 @@ def main():
     deck = Deck(
         box_x=grid / 10.0, box_y=grid / 10.0, nx=grid, ny=grid,
         tile_nx=args.tile, tile_ny=args.tile, guard=args.guard,
-        species=(SpeciesSpec("ele", charge=-1.0, mass=1.0, ppc=ppc, uth=0.05),),
+        species=(SpeciesSpec("ele", charge=-1.0, mass=1.0, ppc=ppc, uth=0.05,
+                             shape_order=args.order),),
         precision="f32", rebin_interval=args.rebin,
         capacity_headroom=args.headroom, mover_capacity=args.mover,
         kchunk=args.kchunk, gather_precision=args.gather,
