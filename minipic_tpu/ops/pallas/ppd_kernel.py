@@ -283,8 +283,9 @@ def _sub_chunk(
                 m = jax.lax.dot_general(
                     f_refs[0][...], rhs_w, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                )  # [6nyg, KC]
-            m_h, m_i = m[: 3 * nyg], m[3 * nyg :]
+                )  # [6nyg, KC]  (ytree: [8nyg, KC], rows y*8+c)
+            if red_mode != "ytree":
+                m_h, m_i = m[: 3 * nyg], m[3 * nyg :]
         else:
             # One dot per x-stagger class: the 3 components sharing Sx are
             # stacked on the row axis (M = 3*nyg), tripling MXU row
@@ -312,6 +313,26 @@ def _sub_chunk(
         if "red" in abl:
             z = jnp.zeros((1, kc), jnp.float32)
             e1 = b2 = b3 = e2 = e3 = b1 = z
+        elif fused_gather and red_mode == "ytree":
+            # y-interleaved reduction: the caller lays the field stack's
+            # rows as y*8 + c (c = ex,by,bz,ey,ez,bx, two zero-pad rows),
+            # so every halving level of the y-sum is an 8-sublane-ALIGNED
+            # slice add — the comp-major tree's levels below 8 rows each
+            # lower to sublane rotations, which dominated red() (~38 ms
+            # of the 130 ms order-2 kernel).  The per-comp stagger-class
+            # sy values are evaluated directly on the interleaved rows.
+            r8 = jax.lax.broadcasted_iota(jnp.int32, (8 * nyg, 1), 0)
+            yy = (r8 // 8).astype(jnp.float32) - g
+            cc = r8 % 8
+            stag = jnp.where((cc == 2) | (cc == 3) | (cc == 5), 0.5, 0.0)
+            s2 = _shape_vals(eta - yy - stag, order)  # [8nyg, KC]
+            b = m * s2
+            n = 8 * nyg
+            while n > 8:
+                b = b[: n // 2] + b[n // 2 :]
+                n //= 2
+            e1, b2, b3 = b[0:1], b[1:2], b[2:3]
+            e2, e3, b1 = b[3:4], b[4:5], b[5:6]
         elif "red-row0" in abl:
             def red1(m_, lo, sy):
                 return (m_[lo : lo + 1] * sy[0:1]).reshape(1, kc)
@@ -517,6 +538,7 @@ def fused_push_deposit(
     return_disp: bool = False,
     ablate: str = "",
     deposit_mode: str = "",
+    red_mode: str = "",
     vma_axes=(),
 ):
     """Returns (pushed ParticleState, (jx, jy, jz) tile stacks
@@ -556,8 +578,21 @@ def fused_push_deposit(
     pspec = pl.BlockSpec((tp, 1, 1, kc), lambda i, k, *_: (i, k, 0, 0), memory_space=pltpu.VMEM)
     fspec = pl.BlockSpec((tp, nyg, nxg), lambda i, k, *_: (i, 0, 0), memory_space=pltpu.VMEM)
     f3spec = pl.BlockSpec((tp, 3 * nyg, nxg), lambda i, k, *_: (i, 0, 0), memory_space=pltpu.VMEM)
+    import os as _os
+
+    # Gather-reduction layout: "ytree" interleaves the field-stack rows as
+    # y*8+c so the y-sum's halving tree is sublane-aligned at every level
+    # (see the kernel comment).  Needs the padded stack to fit the MXU's
+    # M axis and a power-of-two guard window for the clean halvings.
+    if not red_mode:
+        red_mode = _os.environ.get("MINIPIC_RED_MODE", "tree")
+    if red_mode == "ytree" and not (
+        fused_gather and 8 * nyg <= 128 and (nyg & (nyg - 1)) == 0
+    ):
+        red_mode = "tree"
+    fb_rows = (8 if red_mode == "ytree" else 6) * nyg
     fb_w = {"fast": 2, "f32x3": 6}.get(gather_precision, 12) * nxg
-    fbspec = pl.BlockSpec((tp, 6 * nyg, fb_w), lambda i, k, *_: (i, 0, 0), memory_space=pltpu.VMEM)
+    fbspec = pl.BlockSpec((tp, fb_rows, fb_w), lambda i, k, *_: (i, 0, 0), memory_space=pltpu.VMEM)
     dspec = pl.BlockSpec((tp, 1, 128), lambda i, k, *_: (i, 0, 0), memory_space=pltpu.VMEM)
 
     if body_sub <= 0:
@@ -568,8 +603,6 @@ def fused_push_deposit(
     if kc % body_sub or (kc // body_sub) % 128:
         body_sub = 1
 
-    import os as _os
-
     # Experiment knob (promoted to a Deck field if it wins): the exact
     # deposit contraction as one DEFAULT word-split issue vs XLA-HIGHEST.
     if not deposit_mode:
@@ -579,7 +612,7 @@ def fused_push_deposit(
         nxt=tile_nx, nyt=tile_ny, g=g, order=order,
         qm=qm, q=q, dt=dt, dx=dx, dy=dy, kc=kc,
         fused_gather=fused_gather, wrap=wrap, grid=grid, ablate=ablate,
-        deposit_mode=deposit_mode,
+        deposit_mode=deposit_mode, red_mode=red_mode,
         body_sub=body_sub, tiles_per_block=tp,
         gather_mode=gather_precision,
         # The split (non-fused) path has no word-stacked layout; Mosaic
@@ -620,12 +653,29 @@ def fused_push_deposit(
     # Stagger-class stacking for the gather dots (see kernel docstring).
     f_hx = jnp.concatenate([ftiles.ex, ftiles.by, ftiles.bz], axis=1)
     f_ix = jnp.concatenate([ftiles.ey, ftiles.ez, ftiles.bx], axis=1)
-    if fused_gather:
+    if fused_gather and red_mode == "ytree":
+        # y-interleaved block-diagonal stack: row y*8+c holds field comp c
+        # (ex,by,bz | ey,ez,bx) at window row y, comps 6-7 zero-padded —
+        # the gather dot then emits m in the layout the aligned reduction
+        # tree wants (see _sub_chunk).  Still block-diagonal in x: the
+        # first three comps pair with the half-stagger shape columns.
+        z6 = jnp.zeros_like(ftiles.ex)
+        left = jnp.stack(
+            [ftiles.ex, ftiles.by, ftiles.bz, z6, z6, z6, z6, z6], axis=2
+        )  # [T, nyg, 8, nxg]
+        right = jnp.stack(
+            [z6, z6, z6, ftiles.ey, ftiles.ez, ftiles.bx, z6, z6], axis=2
+        )
+        f_blk = jnp.concatenate([left, right], axis=3).reshape(
+            t_total, 8 * nyg, 2 * nxg
+        )
+    elif fused_gather:
         # Block-diagonal [6nyg, 2nxg] stack: rows 0:3nyg see only the
         # half-stagger shape columns, rows 3nyg:6nyg only the integer ones.
         f_blk = jnp.zeros((t_total, 6 * nyg, 2 * nxg), dtype)
         f_blk = f_blk.at[:, : 3 * nyg, :nxg].set(f_hx)
         f_blk = f_blk.at[:, 3 * nyg :, nxg:].set(f_ix)
+    if fused_gather:
         if gather_precision != "fast":
             # Exact bf16 words of the field windows, laid out along K to
             # pair with the kernel's shape words (see in-kernel comment).

@@ -104,6 +104,7 @@ def advance_species_tiles(
     interpret: bool = False,
     gather_precision: str = "exact",
     deposit_mode: str = "",
+    red_mode: str = "",
     wrap: Optional[Tuple[int, int]] = None,
     grid: Optional[Tuple[int, int]] = None,
     return_disp: bool = False,
@@ -136,7 +137,7 @@ def advance_species_tiles(
         kwargs = dict(
             qm=qm, q=q, order=order, tile_ny=nyt, tile_nx=nxt, g=g,
             dt=dt, dx=dx, dy=dy, kc=kc, gather_precision=gather_precision,
-            deposit_mode=deposit_mode,
+            deposit_mode=deposit_mode, red_mode=red_mode,
             wrap=wrap, grid=grid, return_disp=return_disp,
             vma_axes=vma_axes,
         )
