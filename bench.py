@@ -53,6 +53,13 @@ def build(n_particles: int, grid: int, rebin_interval: int):
         # 0 = whole-bucket chunks: one kernel invocation per tile removes
         # the per-chunk pipeline overhead (advance 152 -> 129 ms measured)
         kchunk=int(os.environ.get("BENCH_KCHUNK", 0)),
+        # int8 matched-quantization deposit + its quantized-consistent
+        # gather: continuity exact in the integer ring, passes the same
+        # 10k-step energy acceptance as this deck's TSC shapes
+        # (docs/energy_tpu_10k_int8q.json) — the headline and the physics
+        # bar hold in ONE config.  BENCH_DEPOSIT=highest for the f32
+        # comparison number.
+        deposit=os.environ.get("BENCH_DEPOSIT", "int8"),
     )
     sim = Simulation(deck)
     step = build_step(deck)

@@ -124,10 +124,19 @@ class Deck:
     use_pallas: str = "auto"
     # Field-gather matmul precision: "exact" (full f32 6-pass, default),
     # "f32x3" (bf16x3 3-pass, ~1e-6 relative force error — half the
-    # gather's MXU latency), or "fast" (bf16 single pass, ~0.4% force
-    # error).  Deposition always runs exact — charge conservation is
-    # never traded.
+    # gather's MXU latency), "quant" (matched-quantization shapes, the
+    # int8 deposit's consistent force side — selected automatically with
+    # deposit="int8"), or "fast" (bf16 single pass, ~0.4% force error).
     gather_precision: str = "exact"
+    # Deposit contraction: "" = env MINIPIC_DEPOSIT_MODE or "highest"
+    # (f32-exact 6-pass).  "int8" = matched-quantization integer-ring
+    # Esirkepov (continuity EXACT against the quantized rho; shapes
+    # rounded to 1/84ths (TSC) / 1/63rds (CIC) on BOTH the gather and
+    # deposit sides so there is no self-force).  int8 needs uniform
+    # particle weights (density profiles fall back to highest) and passes
+    # the 10k-step two-stream energy acceptance on chip
+    # (docs/energy_tpu_10k_int8q.json: 2.0e-4 max drift vs the 1e-3 bar).
+    deposit: str = ""
     # Re-binning strategy: "sort" = full filler-key sort every pass;
     # "incremental" = movers-only kernels + watermark defrag (single-device,
     # requires the pallas backend); "auto" follows use_pallas.
@@ -252,6 +261,42 @@ class Deck:
         base = max(512, -(-int(derived) // 128) * 128)
         return min(base, room)
 
+    def mover_seg_cap(self, mover_cap: int, kc: int = 256) -> int:
+        """Per-direction slot capacity of the deal-route segment buffer
+        (rebin_kernels.segment_movers): the worst single direction's
+        expected share of a tile's movers, from the same kinematics as
+        expected_mover_fraction.  Directional crossing rates: v+ per axis
+        is the mean positive-going speed (drift one-sided + half the
+        half-normal thermal mass); a direction's share is its axis rate
+        over the total.  Safety 1.6 (shares are rougher than totals, and
+        segment overflow cannot defer — the movers are already out of
+        their buckets — so it drops and counts).  Rounded up to the
+        segment kernel's chunk (kc), clamped to [kc, mover_cap]."""
+        rates = []
+        for s in self.species:
+            tx, ty, _ = s.thermal_spread()
+            half = 0.3989  # E[v+] of a zero-mean half-normal, per uth
+            rates.append((
+                min(1.0, max(0.0, s.ux) + half * tx) / self.tile_nx,
+                min(1.0, max(0.0, -s.ux) + half * tx) / self.tile_nx,
+                min(1.0, max(0.0, s.uy) + half * ty) / self.tile_ny,
+                min(1.0, max(0.0, -s.uy) + half * ty) / self.tile_ny,
+            ))
+        share = 0.25
+        for r in rates:
+            tot = sum(r)
+            if tot > 0:
+                share = max(share, max(r) / tot)
+        derived = 1.6 * share * self.expected_mover_fraction() * (
+            self.tile_capacity_eff()
+        )
+        base = max(kc, -(-int(derived) // kc) * kc)
+        return min(base, max(kc, (mover_cap // kc) * kc))
+
+    def tile_capacity_eff(self) -> int:
+        """The per-tile bucket capacity the sizing formulas refer to."""
+        return self.capacity()
+
     # Per-direction cross-shard particle exchange buffer capacity (slots);
     # None -> auto from tile capacity.  Only the shard-boundary tiles feed
     # these, so a fraction of one tile's capacity suffices.
@@ -331,6 +376,27 @@ class Deck:
                 )
         if self.dt_factor >= 1.0:
             raise ValueError("dt_factor must be < 1 (CFL)")
+        nyg = self.tile_ny + 2 * self.guard
+        nxg = self.tile_nx + 2 * self.guard
+        n_parts = self.nx * self.ny * sum(s.ppc for s in self.species)
+        if n_parts >= 1 << 22 and not (
+            6 * nyg <= 128 and 2 * nxg <= 128 and nyg % 8 == 0
+        ):
+            import warnings
+
+            # Perf cliff advisory, not an error: the kernel silently took
+            # the ~1.5x slower two-dot gather path before this warning
+            # existed (round-2 verdict, "weak" #7).  Tile-size sweep:
+            # docs/ROADMAP.md.
+            warnings.warn(
+                f"window {nyg}x{nxg} (tile {self.tile_ny}x{self.tile_nx}"
+                f" + guard {self.guard}) falls off the fused single-dot"
+                " gather (needs 6*(tile_ny+2g) <= 128, 2*(tile_nx+2g) <="
+                " 128, (tile_ny+2g) % 8 == 0) — expect a ~1.5x slower"
+                " advance kernel; 8x8 tiles at guard 4 are the measured"
+                " optimum at 512^2 (docs/ROADMAP.md)",
+                stacklevel=2,
+            )
         if self.rebin_trigger not in ("auto", "drift", "interval"):
             raise ValueError(f"unknown rebin_trigger {self.rebin_trigger!r}")
         if self.species and self.rebin_trigger == "drift":

@@ -78,6 +78,29 @@ def _words3(a):
     return w0, w1, w2
 
 
+def _qshape(s, u, S):
+    """round(S*s) with the partition-of-unity defect folded into the CENTER
+    row (|u| < 0.5 — exactly one per particle since u steps by 1 along the
+    window rows): sum_rows q == S by construction.  Without the fold,
+    sum(q1) - sum(q0) = +-1..2 quanta per particle and the Esirkepov
+    telescoping leaves a ridge current at every particle's window tail
+    (measured: continuity rel residual 4.8e-2 at TSC; CIC mostly escapes
+    via round's complement symmetry, 5.8e-4).  Used by BOTH the quantized
+    gather and the int8 deposit so the effective assignment function is
+    identical on the force and current sides (no self-force from shape
+    mismatch — the standard momentum-conserving PIC consistency rule)."""
+    q = jnp.round(s * S)
+    b = q
+    n = b.shape[0]
+    while n > 1 and n % 2 == 0:
+        b = b[: n // 2] + b[n // 2 : n]
+        n //= 2
+    if n > 1:
+        b = jnp.sum(b, axis=0, keepdims=True)
+    center = (u >= -0.5) & (u < 0.5)
+    return q + jnp.where(center, S - b, 0.0)
+
+
 def _dot_ss_wsplit(a, b):
     """The deposit contraction as ONE DEFAULT-precision dot: both operands
     split into exact bf16 words, the six significant word-pair products
@@ -110,6 +133,7 @@ def _kernel(
     body_sub: int = 1,
     tiles_per_block: int = 1,
     ablate: str = "",  # perf instrumentation (scripts/ablate_advance.py)
+    interp_exact: bool = False,
 ):
     abl = frozenset(ablate.split(",")) if ablate else frozenset()
     nf = 1 if fused_gather else 2
@@ -139,7 +163,7 @@ def _kernel(
             dy=dy, kc=kc, fused_gather=fused_gather, wrap=wrap, grid=grid,
             gather_mode=gather_mode, gather_prec=gather_prec,
             deposit_mode=deposit_mode, red_mode=red_mode,
-            body_sub=body_sub, abl=abl,
+            body_sub=body_sub, abl=abl, interp_exact=interp_exact,
         )
 
 
@@ -147,7 +171,7 @@ def _process_tile(
     ti, t, k, counts_ref, ox_ref, oy_ref, f_refs, p_refs, o_refs, j_refs,
     *, nxt, nyt, g, order, qm, q, dt, dx, dy, kc,
     fused_gather, wrap, grid, gather_mode, gather_prec, deposit_mode,
-    red_mode, body_sub, abl,
+    red_mode, body_sub, abl, interp_exact=False,
 ):
     x_ref, y_ref, px_ref, py_ref, pz_ref, w_ref = p_refs
     xo_ref, yo_ref, pxo_ref, pyo_ref, pzo_ref = o_refs
@@ -183,6 +207,7 @@ def _process_tile(
                 dy=dy, fused_gather=fused_gather, wrap=wrap, grid=grid,
                 gather_mode=gather_mode, gather_prec=gather_prec,
                 deposit_mode=deposit_mode, red_mode=red_mode, abl=abl,
+                interp_exact=interp_exact,
             )
             outs.append(o[:5])
             j_acc = o[5:8] if j_acc is None else tuple(
@@ -213,7 +238,7 @@ def _sub_chunk(
     x, y, px, py, pz, qw, wgt, f_refs, ox_s, oy_s, kc,
     *, nxt, nyt, g, order, qm, dt, dx, dy,
     fused_gather, wrap, grid, gather_mode, gather_prec, deposit_mode,
-    red_mode, abl,
+    red_mode, abl, interp_exact=False,
 ):
     """One lane-slice of the fused pipeline; returns
     (x', y', px', py', pz', jx, jy, jz) with J as [nyg/ nxg] window
@@ -251,6 +276,18 @@ def _sub_chunk(
             sx_h = _shape_vals(xi - cx - 0.5, order)
             sy_h = _shape_vals(eta - cy - 0.5, order)
 
+        # Matched shape quantization (gather side).  qx_i/qy_i are shared
+        # with the int8 deposit's s0 endpoints — one qshape evaluation
+        # serves both, which is exactly the consistency the physics needs.
+        S = 84.0 if order == 2 else 63.0
+        qx_i = qy_i = qx_h = qy_h = None
+        if gather_mode == "quant" or deposit_mode == "int8":
+            qx_i = _qshape(sx_i, xi - cx, S)
+            qy_i = _qshape(sy_i, eta - cy, S)
+        if gather_mode == "quant":
+            qx_h = _qshape(sx_h, xi - cx - 0.5, S)
+            qy_h = _qshape(sy_h, eta - cy - 0.5, S)
+
         if fused_gather:
             # Both stagger classes in ONE dot: the caller stacks the six
             # field windows block-diagonally ([6nyg, 2nxg], fits the
@@ -259,6 +296,30 @@ def _sub_chunk(
             rhs = jnp.concatenate([sx_h, sx_i], axis=0)  # [2nxg, KC]
             if gather_mode == "fast":
                 m = _dot_f_s(f_refs[0][...], rhs, jax.lax.Precision.DEFAULT)
+            elif gather_mode == "quant":
+                # Quantized-shape gather: the shape operand is the INTEGER
+                # q = round(S*s) (+fold), which is bf16-EXACT (|q| <= 127
+                # fits 8 mantissa bits) — so one bf16 word replaces the
+                # 3-word shape split, and only the FIELD needs its 3 exact
+                # words: K stacks 3 word-pairs (f0*q, f1*q, f2*q) instead
+                # of exact's 6.  The 1/S^2 scale (one S per axis) is
+                # folded into the Boris half-kick coefficient h below.
+                qb = jnp.concatenate([qx_h, qx_i], axis=0).astype(
+                    jnp.bfloat16)
+                rhs_w = jnp.concatenate([qb, qb, qb], axis=0)  # [6nxg, KC]
+                if interp_exact:
+                    m = jax.lax.dot_general(
+                        f_refs[0][...].astype(jnp.float32),
+                        rhs_w.astype(jnp.float32),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                else:
+                    m = jax.lax.dot_general(
+                        f_refs[0][...], rhs_w, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # [6nyg, KC]
             else:
                 # Multi-word gather as a SINGLE DEFAULT-precision dot:
                 # split each operand into exact bf16 words (8 mantissa
@@ -280,10 +341,23 @@ def _sub_chunk(
                 else:
                     s2 = (r - s1.astype(jnp.float32)).astype(jnp.bfloat16)
                     rhs_w = jnp.concatenate([s0, s1, s0, s2, s1, s0], axis=0)
-                m = jax.lax.dot_general(
-                    f_refs[0][...], rhs_w, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # [6nyg, KC]  (ytree: [8nyg, KC], rows y*8+c)
+                if interp_exact:
+                    # Pallas interpret emulation does not reproduce the
+                    # MXU's f32 accumulation of bf16 products (correction
+                    # words can be rounded away), so compute the word-
+                    # stacked dot in f32 there — same algebra, exact.
+                    m = jax.lax.dot_general(
+                        f_refs[0][...].astype(jnp.float32),
+                        rhs_w.astype(jnp.float32),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                else:
+                    m = jax.lax.dot_general(
+                        f_refs[0][...], rhs_w, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # [6nyg, KC]  (ytree: [8nyg, KC], rows y*8+c)
             if red_mode != "ytree":
                 m_h, m_i = m[: 3 * nyg], m[3 * nyg :]
         else:
@@ -357,15 +431,21 @@ def _sub_chunk(
             e3 = redn(m_i, nyg)
             b1 = redn(m_i, 2 * nyg)
         else:
-            e1 = red(m_h, 0, sy_i)
-            b2 = red(m_h, nyg, sy_i)
-            b3 = red(m_h, 2 * nyg, sy_h)
-            e2 = red(m_i, 0, sy_h)
-            e3 = red(m_i, nyg, sy_i)
-            b1 = red(m_i, 2 * nyg, sy_h)
+            ry_i = qy_i if gather_mode == "quant" else sy_i
+            ry_h = qy_h if gather_mode == "quant" else sy_h
+            e1 = red(m_h, 0, ry_i)
+            b2 = red(m_h, nyg, ry_i)
+            b3 = red(m_h, 2 * nyg, ry_h)
+            e2 = red(m_i, 0, ry_h)
+            e3 = red(m_i, nyg, ry_i)
+            b1 = red(m_i, 2 * nyg, ry_h)
 
-        # Boris rotation (all [1, KC] lanewise)
+        # Boris rotation (all [1, KC] lanewise).  Quantized gather carries
+        # an S per axis in the raw q products; fold 1/S^2 here — every
+        # gathered component enters the push exactly once through h.
         h = qm * dt * 0.5
+        if gather_mode == "quant":
+            h = h * (1.0 / (S * S))
         if "boris" in abl:
             pxn = px + h * e1  # keep a data dependence on the gather
             pyn, pzn = py, pz
@@ -406,18 +486,32 @@ def _sub_chunk(
             x_out = xn
             y_out = yn
 
-        # Esirkepov currents (from the UNwrapped move relative to the
-        # centered old position, so ds is the true displacement)
+        # Esirkepov currents.  s1 is evaluated from the STORED (wrapped)
+        # position through the exact same ops as the NEXT step's s0
+        # (xi = x_out - ox, then the nearest-image fold) so the shape
+        # chain telescopes bit-exactly across steps: step n's s1 equals
+        # step n+1's s0 as f32 numbers, not just to roundoff.  The old
+        # form xi + (xn - x) re-rounded the move and left ~1e-7 gaps —
+        # harmless at f32, but fatal to the int8 matched-quantization
+        # deposit where a 1-ulp gap across a round() boundary becomes a
+        # full 1/S shape quantum (measured: continuity rel residual
+        # 4.8e-2 with the old form, roundoff with this one).  The
+        # centered fold keeps box-crossers' windows valid exactly as it
+        # does for stale buckets at gather time.
         if "esirkepov" in abl:
             s1x, s1y = sx_i, sy_i
+            xi1, eta1 = xi, eta
         else:
-            s1x = _shape_vals(xi + (xn - x) - cx, order)
-            s1y = _shape_vals(eta + (yn - y) - cy, order)
-        dsx = s1x - sx_i
-        dsy = s1y - sy_i
-
-        by1 = (sy_i + 0.5 * dsy) * (qw * (-1.0 / (dt * dy)))
-        bx1 = sx_i + 0.5 * dsx
+            xi1 = x_out - ox
+            eta1 = y_out - oy
+            if grid is not None:
+                gnx, gny = grid
+                xi1 = xi1 - gnx * jnp.floor(
+                    (xi1 + (gnx - nxt) * 0.5) * (1.0 / gnx))
+                eta1 = eta1 - gny * jnp.floor(
+                    (eta1 + (gny - nyt) * 0.5) * (1.0 / gny))
+            s1x = _shape_vals(xi1 - cx, order)
+            s1y = _shape_vals(eta1 - cy, order)
         vz = pzn * gn
         cz = qw * vz * (1.0 / (dx * dy))
 
@@ -430,21 +524,101 @@ def _sub_chunk(
         # and the caller cumsums the tiny [T, nyg, nxg] stacks instead —
         # this removed a per-chunk [nxg, nxg] x [nxg, 2KC] prefix matmul
         # that cost as much MXU time as the gather itself.
-        if "prep" in abl:
-            lhs_parts = (sy_i, dsy, sy_i, dsy)
-            rhs_parts = (dsx, sx_i, dsx)
-        else:
-            lhs_parts = (  # 4 x [nyg, KC]
-                by1, dsy * (qw * (-1.0 / (dt * dx))), sy_i * cz, dsy * cz
-            )
-            rhs_parts = (dsx, bx1, 0.5 * sx_i + (1.0 / 3.0) * dsx)  # 3 x [nxg, KC]
         lhs = rhs = None
-        if not (deposit_mode == "kfold" and 8 * nyg <= 128 and 6 * nxg <= 128
-                and kc % 2 == 0):
-            lhs = jnp.concatenate(lhs_parts, axis=0)  # [4*nyg, KC]
-            rhs = jnp.concatenate(rhs_parts, axis=0)  # [3*nxg, KC]
+        if deposit_mode != "int8":
+            dsx = s1x - sx_i
+            dsy = s1y - sy_i
+            by1 = (sy_i + 0.5 * dsy) * (qw * (-1.0 / (dt * dy)))
+            bx1 = sx_i + 0.5 * dsx
+            if "prep" in abl:
+                lhs_parts = (sy_i, dsy, sy_i, dsy)
+                rhs_parts = (dsx, sx_i, dsx)
+            else:
+                lhs_parts = (  # 4 x [nyg, KC]
+                    by1, dsy * (qw * (-1.0 / (dt * dx))), sy_i * cz, dsy * cz
+                )
+                rhs_parts = (dsx, bx1, 0.5 * sx_i + (1.0 / 3.0) * dsx)  # 3 x [nxg, KC]
+            if not (deposit_mode == "kfold" and 8 * nyg <= 128
+                    and 6 * nxg <= 128 and kc % 2 == 0):
+                lhs = jnp.concatenate(lhs_parts, axis=0)  # [4*nyg, KC]
+                rhs = jnp.concatenate(rhs_parts, axis=0)  # [3*nxg, KC]
+        dep = None
         if "depdot" in abl:
             dep = jnp.zeros((4 * nyg, 3 * nxg), jnp.float32)
+        elif deposit_mode == "int8":
+            # Matched-quantization int8 deposit (the conserved in-plane
+            # currents), ROADMAP "ranked next moves" #1.  The HIGHEST
+            # deposit dot costs 6 bf16 passes (~56 ms of the 132 ms
+            # order-2 kernel at 1e8 particles); one int8 pass runs at 2x
+            # bf16 MXU rate.  Exactness is restructured, not dropped:
+            #
+            # * Shape endpoints quantize to integers q = round(S*s), and
+            #   the Esirkepov decomposition is evaluated IN THE INTEGER
+            #   RING: jx ~ (q0y+q1y)*(q1x-q0x), jy ~ (q1y-q0y)*(q0x+q1x),
+            #   int8 x int8 accumulated in int32 exactly — continuity
+            #   (div J = -d rho/dt with rho built from the same quantized
+            #   shapes, deposit_rho_chunk(quantize=S)) holds to f32
+            #   conversion roundoff, same standard as the HIGHEST path.
+            # * The shape function itself carries the quantization: the
+            #   effective assignment function is round(S*S(u))/S — ~0.6%
+            #   shape granularity vs per-cell shot noise of
+            #   1/sqrt(ppc) >~ 5%.  Energy behavior is measured by the
+            #   on-chip 10k-step acceptance (docs/energy_tpu_10k_int8*).
+            # * Requires uniform particle weights (qw0 = q*w factors out
+            #   of the contraction; the caller verifies and falls back to
+            #   HIGHEST otherwise).  Range: |q0+q1| <= 2*S*smax <= 127
+            #   and int32->f32 output conversion is exact below 2^24
+            #   (ppc*9*127*63 — holds to ~4700 ppc; Deck.validate warns).
+            # * jz has no divergence in 2D (conservation-free); its
+            #   operands use the same quantized shapes for gather/deposit
+            #   consistency, contracted by one compiler-managed dot.
+            # * The s0 endpoints (qx_i, qy_i) are the SAME q arrays the
+            #   quantized gather used — force and current sides see one
+            #   assignment function (no self-force from shape mismatch).
+            zm = jnp.where(wgt > 0, 1.0, 0.0)
+            q0y = qy_i * zm
+            q1y = _qshape(s1y, eta1 - cy, S) * zm
+            q0x = qx_i
+            q1x = _qshape(s1x, xi1 - cx, S)
+            lhs8 = jnp.concatenate(
+                [q0y + q1y, q1y - q0y], axis=0
+            ).astype(jnp.int8)  # [2nyg, KC]
+            rhs8 = jnp.concatenate(
+                [q1x - q0x, q0x + q1x], axis=0
+            ).astype(jnp.int8)  # [2nxg, KC]
+            d8 = jax.lax.dot_general(
+                lhs8, rhs8, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # [2nyg, 2nxg] int32, exact
+            # The uniform q*w factor is applied OUTSIDE the kernel from
+            # the runtime state (q * max(w)) — a static deck-derived
+            # value silently breaks when a seed_state rescales weights
+            # (measured: the two-stream seed halves beam weights, so a
+            # deck-static qw0 deposited 2x currents and the energy
+            # "drift" tracked 0.53x the field energy — the (beta-1)/beta
+            # signature of beta=2 overdeposit).
+            inv2 = 1.0 / (2.0 * S * S)
+            jx = d8[:nyg, :nxg].astype(jnp.float32) * (-inv2 / (dt * dy))
+            jy = d8[nyg:, nxg:].astype(jnp.float32) * (-inv2 / (dt * dx))
+            # jz has no divergence in 2D (conservation-free): one
+            # compiler-managed dot — DEFAULT (single bf16 pass, ~4e-3
+            # rel) on hardware, HIGHEST under interpret.  Manual word
+            # stacks here blew the 16M VMEM scope at whole-bucket kc.
+            # Operands are built from the SAME quantized shapes as jx/jy
+            # (1/S^2 folded into the cz factor).
+            czq = cz * (1.0 / (S * S))
+            lz = jnp.concatenate([q0y * czq, (q1y - q0y) * czq], axis=0)
+            rz = jnp.concatenate(
+                [0.5 * (q0x + q1x),
+                 0.5 * q0x + (1.0 / 3.0) * (q1x - q0x)], axis=0
+            )
+            dz = jax.lax.dot_general(
+                lz, rz, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=(jax.lax.Precision.HIGHEST if interp_exact
+                           else jax.lax.Precision.DEFAULT),
+            )
+            jz = dz[:nyg, :nxg] + dz[nyg:, nxg:]
         elif deposit_mode == "kfold" and 8 * nyg <= 128 and 6 * nxg <= 128 \
                 and kc % 2 == 0:
             # K-fold MXU packing: the [4nyg, 3nxg] = [64, 48] output tile
@@ -498,12 +672,13 @@ def _sub_chunk(
             dep = dep2[: 4 * nyg, : 3 * nxg] + dep2[4 * nyg :, 3 * nxg :]
         else:
             dep = _dot_ss(lhs, rhs)  # [4*nyg, 3*nxg]
-        jx = dep[0:nyg, 0:nxg]
-        jy = dep[nyg : 2 * nyg, nxg : 2 * nxg]
-        jz = (
-            dep[2 * nyg : 3 * nyg, nxg : 2 * nxg]
-            + dep[3 * nyg : 4 * nyg, 2 * nxg : 3 * nxg]
-        )
+        if dep is not None:  # int8 mode assigns jx/jy/jz directly
+            jx = dep[0:nyg, 0:nxg]
+            jy = dep[nyg : 2 * nyg, nxg : 2 * nxg]
+            jz = (
+                dep[2 * nyg : 3 * nyg, nxg : 2 * nxg]
+                + dep[3 * nyg : 4 * nyg, 2 * nxg : 3 * nxg]
+            )
 
         # Max per-axis displacement (cells) over alive particles, folded
         # to one 128-lane vector — feeds the drift-triggered re-bin at no
@@ -539,6 +714,7 @@ def fused_push_deposit(
     ablate: str = "",
     deposit_mode: str = "",
     red_mode: str = "",
+    qw0: float = 0.0,  # uniform q*w; required for deposit_mode='int8'
     vma_axes=(),
 ):
     """Returns (pushed ParticleState, (jx, jy, jz) tile stacks
@@ -580,6 +756,28 @@ def fused_push_deposit(
     f3spec = pl.BlockSpec((tp, 3 * nyg, nxg), lambda i, k, *_: (i, 0, 0), memory_space=pltpu.VMEM)
     import os as _os
 
+    # Experiment knob (promoted to a Deck field if it wins): the exact
+    # deposit contraction as one DEFAULT word-split issue vs XLA-HIGHEST.
+    if not deposit_mode:
+        deposit_mode = _os.environ.get("MINIPIC_DEPOSIT_MODE", "highest")
+    if deposit_mode == "int8" and (qw0 == 0.0 or not fused_gather):
+        # int8 needs the uniform q*w factored out of the contraction;
+        # callers without one (non-uniform weights) must not request it.
+        # The quantized-consistent gather also exists only on the fused
+        # path, so non-fused windows keep the f32 pipeline.
+        deposit_mode = "highest"
+    gather_precision = _os.environ.get("MINIPIC_GATHER_MODE",
+                                       gather_precision)
+    if deposit_mode == "int8" and gather_precision == "exact":
+        # Matched quantization is a CONSISTENCY contract: force (gather)
+        # and current (deposit) must evaluate the same assignment
+        # function, or every particle exerts an O(1/S) self-force that
+        # secularly heats (measured: 5.3% max 10k-step energy drift with
+        # exact gather + int8 deposit vs the consistent pair's).
+        gather_precision = "quant"
+    if gather_precision == "quant" and not fused_gather:
+        gather_precision = "exact"
+
     # Gather-reduction layout: "ytree" interleaves the field-stack rows as
     # y*8+c so the y-sum's halving tree is sublane-aligned at every level
     # (see the kernel comment).  Needs the padded stack to fit the MXU's
@@ -588,10 +786,11 @@ def fused_push_deposit(
         red_mode = _os.environ.get("MINIPIC_RED_MODE", "tree")
     if red_mode == "ytree" and not (
         fused_gather and 8 * nyg <= 128 and (nyg & (nyg - 1)) == 0
+        and gather_precision != "quant"
     ):
         red_mode = "tree"
     fb_rows = (8 if red_mode == "ytree" else 6) * nyg
-    fb_w = {"fast": 2, "f32x3": 6}.get(gather_precision, 12) * nxg
+    fb_w = {"fast": 2, "f32x3": 6, "quant": 6}.get(gather_precision, 12) * nxg
     fbspec = pl.BlockSpec((tp, fb_rows, fb_w), lambda i, k, *_: (i, 0, 0), memory_space=pltpu.VMEM)
     dspec = pl.BlockSpec((tp, 1, 128), lambda i, k, *_: (i, 0, 0), memory_space=pltpu.VMEM)
 
@@ -603,10 +802,6 @@ def fused_push_deposit(
     if kc % body_sub or (kc // body_sub) % 128:
         body_sub = 1
 
-    # Experiment knob (promoted to a Deck field if it wins): the exact
-    # deposit contraction as one DEFAULT word-split issue vs XLA-HIGHEST.
-    if not deposit_mode:
-        deposit_mode = _os.environ.get("MINIPIC_DEPOSIT_MODE", "highest")
     kernel = functools.partial(
         _kernel,
         nxt=tile_nx, nyt=tile_ny, g=g, order=order,
@@ -614,6 +809,7 @@ def fused_push_deposit(
         fused_gather=fused_gather, wrap=wrap, grid=grid, ablate=ablate,
         deposit_mode=deposit_mode, red_mode=red_mode,
         body_sub=body_sub, tiles_per_block=tp,
+        interp_exact=interpret,
         gather_mode=gather_precision,
         # The split (non-fused) path has no word-stacked layout; Mosaic
         # supports only DEFAULT/HIGHEST there.
@@ -684,6 +880,11 @@ def fused_push_deposit(
             f1 = r.astype(jnp.bfloat16)
             if gather_precision == "f32x3":
                 f_blk = jnp.concatenate([f0, f0, f1], axis=2)
+            elif gather_precision == "quant":
+                # Quantized shapes are one exact bf16 word; only the
+                # field needs all three — pairs (f0*q, f1*q, f2*q).
+                f2 = (r - f1.astype(dtype)).astype(jnp.bfloat16)
+                f_blk = jnp.concatenate([f0, f1, f2], axis=2)
             else:
                 f2 = (r - f1.astype(dtype)).astype(jnp.bfloat16)
                 f_blk = jnp.concatenate([f0, f0, f1, f0, f1, f2], axis=2)
@@ -707,6 +908,16 @@ def fused_push_deposit(
     )
     xn, yn, pxn, pyn, pzn = (a.reshape(t_total, cap) for a in outs[:5])
     jx, jy, jz, dmax = outs[5], outs[6], outs[7], outs[8]
+    if deposit_mode == "int8":
+        # Uniform per-particle q*w, read from the live state (dead slots
+        # hold w == 0, so max() is the uniform live value).  qw0 (the
+        # deck-declared uniform value) only gates the mode; the actual
+        # scale must follow runtime weight rescales (e.g. seed_state
+        # halving beam weights) or currents deposit at the wrong
+        # amplitude while forces stay right — see the in-kernel comment.
+        qws = q * jnp.max(p.w)
+        jx = jx * qws
+        jy = jy * qws
     # Esirkepov grid-axis prefix sums, deferred out of the kernel (exact
     # f32 adds over the tiny J stacks; see the deposition comment above).
     jx = jnp.cumsum(jx, axis=-1)

@@ -342,7 +342,7 @@ def extract_movers(
         _extract_kernel,
         tile_nx=tile_nx, tile_ny=tile_ny, tile_cols=tile_cols,
         tile_rows=tile_rows, kc=kc, n_chunks=cap // kc, b_cap=b_cap,
-        n_tiles=t_total, wsplit=_wsplit_default(wsplit),
+        n_tiles=t_total, wsplit=_wsplit_default(wsplit) and not interpret,
     )
     pin = pl.BlockSpec((1, 1, cap), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM)
     mspec = pl.BlockSpec((1, N_CH, b_cap), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM)
@@ -594,7 +594,7 @@ def split_buckets(
         _split_kernel,
         tile_nx=tile_nx, tile_ny=tile_ny, tile_cols=tile_cols,
         tile_rows=tile_rows, kc=kc, n_chunks=cap // kc, b_cap=b_cap, cap=cap,
-        n_tiles=t_total, wsplit=_wsplit_default(wsplit),
+        n_tiles=t_total, wsplit=_wsplit_default(wsplit) and not interpret,
     )
     pin = pl.BlockSpec((1, 1, cap), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM)
     mspec = pl.BlockSpec((1, N_CH, b_cap), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM)
@@ -633,6 +633,255 @@ def split_buckets(
         w=mov[:, 5],
     )
     return p2, movers, counts, pending
+
+
+# Deal-route direction order: d8 index = (dr+1)*3 + (dc+1), self (1,1)
+# removed.  DIR_OFFSETS[d8] = (dr, dc) of the DESTINATION relative to the
+# source tile.
+DIR_OFFSETS = tuple(
+    (dr, dc) for dr in (-1, 0, 1) for dc in (-1, 0, 1) if (dr, dc) != (0, 0)
+)
+
+
+def _rows8_sum(a):
+    """[8, kc] -> [1, kc] pairwise-tree row sum (aligned halvings)."""
+    a = a[:4] + a[4:]
+    a = a[:2] + a[2:]
+    return a[:1] + a[1:2]
+
+
+def _segment_kernel(
+    rc_ref,  # scalar-prefetch [2T+1]: tile rows, tile cols (+unused flag)
+    x_ref, y_ref, px_ref, py_ref, pz_ref, w_ref,  # movers in: [1, 1, MC]
+    seg_ref,  # out [1, N_CH, 8*b_seg]: per-direction compacted runs
+    *,
+    tile_nx: int, tile_ny: int, tile_cols: int, tile_rows: int,
+    kc: int, n_chunks: int, b_seg: int, n_tiles: int, wsplit: bool = True,
+):
+    """Bin one tile's (already compacted) movers by destination direction:
+    segment d of the output holds, live-compacted, the movers whose
+    destination tile is this tile's d8-neighbor.  The route then needs no
+    sort at all — arrivals at tile t are the 8 neighbors' matching
+    segments, fetched by static grid rolls (binning._roll_segments).
+
+    ONE combined permutation per chunk: the 8 per-direction ranks come
+    from a single [8, kc] triangular dot, the within-chunk segment bases
+    from their tiny cumsum, and one permute dot scatters the chunk into
+    direction-ordered runs; per-direction placement is then a roll +
+    masked accumulate into that direction's pending lane window.
+
+    A mover more than one tile from home (corrupted/unwrapped position)
+    cannot be addressed by a neighbor segment; it is zero-weighted and
+    counted (same policy as parallel/exchange.py's >1-hop kill).  Segment
+    overflow also drops and counts — unlike the split kernel there is no
+    deferral here, the movers are already out of their buckets (size via
+    Deck.mover_seg_cap).  Stats in channel 6: lane d = dropped count of
+    direction d, lane 8 = killed >1-hop movers."""
+    t = pl.program_id(0)
+    my_row = rc_ref[t].astype(jnp.float32)
+    my_col = rc_ref[n_tiles + t].astype(jnp.float32)
+
+    seg_ref[...] = jnp.zeros(seg_ref.shape, seg_ref.dtype)
+    tri = _upper_tri(kc)
+    out_row = jax.lax.broadcasted_iota(jnp.int32, (kc, kc), 0)
+    col2 = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * kc), 1)
+    ins = (x_ref, y_ref, px_ref, py_ref, pz_ref, w_ref)
+
+    def scoped(pend_ref):  # [64, 2kc]: direction d rows [8d, 8d+6)
+        pend_ref[...] = jnp.zeros(pend_ref.shape, pend_ref.dtype)
+
+        def body(c, carry):
+            pc, cur, dropped, killed = carry
+            sl = pl.ds(c * kc, kc)
+            rows6 = [r[0, 0, sl].reshape(1, kc) for r in ins]
+            xc, yc, wc = rows6[0], rows6[1], rows6[5]
+            alive = wc > 0
+            dc = jnp.floor(xc * (1.0 / tile_nx)) - my_col
+            dr = jnp.floor(yc * (1.0 / tile_ny)) - my_row
+            # Periodic wrap: a destination on the far grid edge is the
+            # adjacent neighbor.  (Non-periodic decks never produce the
+            # far-edge deltas, so the fold is inert there.)
+            dc = jnp.where(dc > 1.5, dc - tile_cols,
+                           jnp.where(dc < -1.5, dc + tile_cols, dc))
+            dr = jnp.where(dr > 1.5, dr - tile_rows,
+                           jnp.where(dr < -1.5, dr + tile_rows, dr))
+            hop1 = (jnp.abs(dc) <= 1.5) & (jnp.abs(dr) <= 1.5)
+            d9 = (dr.astype(jnp.int32) + 1) * 3 + (dc.astype(jnp.int32) + 1)
+            mov = alive & hop1 & (d9 != 4)
+            killed = killed + jnp.sum(
+                (alive & ~hop1).astype(jnp.int32)
+            ).astype(jnp.int32)
+            d8 = d9 - (d9 > 4).astype(jnp.int32)  # 0..7
+
+            mrows = jax.lax.broadcasted_iota(jnp.int32, (8, kc), 0)
+            mf = ((mrows == d8) & mov).astype(jnp.float32)  # [8, kc]
+            ranks = jax.lax.dot_general(
+                mf, tri, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )  # [8, kc], 1-based within direction
+            # Per-direction counts and exclusive prefix as SCALARS (Mosaic
+            # has no cumsum lowering, and tiny [8,1]/[1,1] vector concats
+            # hit layout-offset bugs; scalar extract + broadcast lowers
+            # clean).  off8v broadcasts the prefix back over the rows for
+            # the base computation.
+            cnt_s = [ranks[d, kc - 1] for d in range(8)]
+            off_s = []
+            acc0 = jnp.float32(0.0)
+            for d in range(8):
+                off_s.append(acc0)
+                acc0 = acc0 + cnt_s[d]
+            off8v = jnp.zeros((8, kc), jnp.float32)
+            for d in range(8):
+                off8v = jnp.where(mrows == d, off_s[d], off8v)
+            base = _rows8_sum(mf * off8v)  # [1, kc]: own-direction base
+            rankd = _rows8_sum(mf * ranks)
+            rank_all = base + rankd  # 1-based, direction-ordered
+            p_mat = (
+                (rank_all - 1.0) == out_row.astype(jnp.float32)
+            ) & mov
+            payload8 = jnp.concatenate(
+                [jnp.concatenate(rows6, axis=0) * jnp.where(mov, 1.0, 0.0),
+                 jnp.zeros((2, kc), jnp.float32)], axis=0
+            )
+            comp = _permute_dot(payload8, p_mat, wsplit)  # [8, kc]
+            cpad = jnp.concatenate(
+                [comp, jnp.zeros((8, kc), jnp.float32)], axis=1
+            )  # [8, 2kc]
+
+            new_pc, new_cur, new_drop = [], [], []
+            for d in range(8):
+                start = off_s[d].astype(jnp.int32)
+                cnt = cnt_s[d].astype(jnp.int32)
+                pcd, curd, dropd = pc[d], cur[d], dropped[d]
+                # Run d sits at columns [start, start+cnt) of comp; move it
+                # to [pcd, pcd+cnt) (never wraps: both < kc, width <= kc).
+                shift = jnp.where(
+                    pcd >= start, pcd - start, pcd - start + 2 * kc
+                )
+                rolled = pltpu.roll(cpad, shift, 1)
+                selm = (col2 >= pcd) & (col2 < pcd + cnt)
+                pend_ref[8 * d : 8 * (d + 1), :] += jnp.where(
+                    selm, rolled, 0.0
+                )
+                pcd = pcd + cnt
+
+                @pl.when(pcd >= kc)
+                def _flush(d=d, curd=curd):
+                    @pl.when(curd + kc <= b_seg)
+                    def _w():
+                        slw = pl.ds(
+                            d * b_seg + pl.multiple_of(curd, kc), kc
+                        )
+                        seg_ref[0, 0:6, slw] = pend_ref[
+                            8 * d : 8 * d + 6, :kc
+                        ]
+
+                    shifted = pltpu.roll(
+                        pend_ref[8 * d : 8 * (d + 1), :], kc, 1
+                    )
+                    ztail = (
+                        jax.lax.broadcasted_iota(jnp.int32, (8, 2 * kc), 1)
+                        < kc
+                    )
+                    pend_ref[8 * d : 8 * (d + 1), :] = jnp.where(
+                        ztail, shifted, 0.0
+                    )
+
+                flush = pcd >= kc
+                over = flush & (curd + kc > b_seg)
+                dropd = dropd + jnp.where(over, kc, 0)
+                curd = curd + jnp.where(flush & ~over, kc, 0)
+                pcd = jnp.where(flush, pcd - kc, pcd)
+                new_pc.append(pcd)
+                new_cur.append(curd)
+                new_drop.append(dropd)
+            return tuple(new_pc), tuple(new_cur), tuple(new_drop), killed
+
+        z = jnp.int32(0)
+        pc, cur, dropped, killed = jax.lax.fori_loop(
+            0, n_chunks, body, ((z,) * 8, (z,) * 8, (z,) * 8, z)
+        )
+
+        drop_tot = []
+        for d in range(8):
+            @pl.when((pc[d] > 0) & (cur[d] + kc <= b_seg))
+            def _tail(d=d):
+                slw = pl.ds(d * b_seg + pl.multiple_of(cur[d], kc), kc)
+                seg_ref[0, 0:6, slw] = pend_ref[8 * d : 8 * d + 6, :kc]
+
+            drop_tot.append(
+                dropped[d]
+                + jnp.where((pc[d] > 0) & (cur[d] + kc > b_seg), pc[d], 0)
+            )
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (8 * b_seg,), 0)
+        stats = jnp.where(lane == 8, killed.astype(jnp.float32), 0.0)
+        for d in range(8):
+            stats = jnp.where(
+                lane == d, drop_tot[d].astype(jnp.float32), stats
+            )
+        seg_ref[0, 6, :] = stats
+
+    pl.run_scoped(scoped, pltpu.VMEM((64, 2 * kc), jnp.float32))
+
+
+def segment_movers(
+    movers: ParticleState, *, tile_rows: int, tile_cols: int, tile_ny: int,
+    tile_nx: int, b_seg: int, kc: int = 256, interpret: bool = False,
+    vma_axes=(), wsplit=None,
+):
+    """Deal-route stage 1: bin each tile's compacted movers by destination
+    direction.  Returns (segments ParticleState [T, 8*b_seg] — direction d
+    compacted at columns [d*b_seg, (d+1)*b_seg) — and dropped [T] i32:
+    per-direction segment overflow plus >1-hop kills)."""
+    t_total, mc = movers.num_tiles, movers.capacity
+    if mc % kc or b_seg % kc:
+        for d in (128, 256):
+            if mc % d == 0 and b_seg % d == 0:
+                kc = d
+                break
+        else:
+            raise ValueError(f"mover cap {mc} / b_seg {b_seg} need a 128|256 chunk")
+
+    kern = functools.partial(
+        _segment_kernel,
+        tile_nx=tile_nx, tile_ny=tile_ny, tile_cols=tile_cols,
+        tile_rows=tile_rows, kc=kc, n_chunks=mc // kc, b_seg=b_seg,
+        n_tiles=t_total, wsplit=_wsplit_default(wsplit) and not interpret,
+    )
+    pin = pl.BlockSpec((1, 1, mc), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec((1, N_CH, 8 * b_seg), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+
+    def r3(a):
+        return a.reshape(t_total, 1, mc)
+
+    origin = _tile_rc(t_total, tile_rows, tile_cols, 0, 0, False, None)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t_total,),
+        in_specs=[pin] * 6,
+        out_specs=sspec,
+    )
+    vma = frozenset(vma_axes) if vma_axes else None
+    sds = (jax.ShapeDtypeStruct((t_total, N_CH, 8 * b_seg), jnp.float32,
+                                vma=vma)
+           if vma else
+           jax.ShapeDtypeStruct((t_total, N_CH, 8 * b_seg), jnp.float32))
+    seg = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=sds,
+        interpret=interpret,
+    )(origin, r3(movers.x), r3(movers.y), r3(movers.px), r3(movers.py),
+      r3(movers.pz), r3(movers.w))
+    dropped = jnp.sum(seg[:, 6, :9], axis=1).astype(jnp.int32)
+    segments = ParticleState(
+        x=seg[:, 0], y=seg[:, 1], px=seg[:, 2], py=seg[:, 3], pz=seg[:, 4],
+        w=seg[:, 5],
+    )
+    return segments, dropped
 
 
 def _defrag_kernel(
@@ -805,7 +1054,7 @@ def defrag_buckets(
     outs = pl.pallas_call(
         functools.partial(
             _defrag_kernel, kc=kc, n_chunks=cap // kc,
-            in_chunks=b_in // kc, cap=cap, wsplit=_wsplit_default(wsplit),
+            in_chunks=b_in // kc, cap=cap, wsplit=_wsplit_default(wsplit) and not interpret,
         ),
         grid=(t_total,),
         in_specs=in_specs,
@@ -883,6 +1132,140 @@ def _append_kernel(
     @pl.when(jnp.logical_not(fits))
     def _drop():
         do_ref[0, 0, :] = jnp.full((do_ref.shape[-1],), n_in.astype(jnp.float32))
+
+
+def _append_runs_kernel(
+    wm_ref,  # scalar-prefetch [T]
+    x_ref, y_ref, px_ref, py_ref, pz_ref, w_ref,  # in/out aliased [1,1,K]
+    ix_ref, iy_ref, ipx_ref, ipy_ref, ipz_ref, iw_ref,  # incoming [1,1,A]
+    xo_ref, yo_ref, pxo_ref, pyo_ref, pzo_ref, wo_ref,  # aliased outs
+    do_ref,  # [1, 1, 128] dropped-count output (lane 0)
+    *,
+    b_seg: int, runs: int, cap: int,
+):
+    """_append_kernel generalized to `runs` live-compacted runs at static
+    offsets r*b_seg inside the incoming buffer (the deal-route's rolled
+    neighbor segments): the runs are first rolled into one contiguous
+    arrival block in VMEM, then slab-merged at the watermark exactly like
+    the single-run append."""
+    a_w = runs * b_seg
+    b_slab = a_w + 256
+    t = pl.program_id(0)
+    wm = wm_ref[t]
+
+    do_ref[...] = jnp.zeros(do_ref.shape, do_ref.dtype)
+    xo_ref[...] = x_ref[...]
+    yo_ref[...] = y_ref[...]
+    pxo_ref[...] = px_ref[...]
+    pyo_ref[...] = py_ref[...]
+    pzo_ref[...] = pz_ref[...]
+    wo_ref[...] = w_ref[...]
+
+    inc = (ix_ref, iy_ref, ipx_ref, ipy_ref, ipz_ref, iw_ref)
+    colA = jax.lax.broadcasted_iota(jnp.int32, (1, b_slab), 1)
+
+    def scoped(acc_ref):  # [8, b_slab]; rows 0..5 = channels
+        acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
+        off = jnp.int32(0)
+        for r in range(runs):
+            sl = pl.ds(r * b_seg, b_seg)
+            blk = jnp.concatenate(
+                [ref[0, 0, sl].reshape(1, b_seg) for ref in inc]
+                + [jnp.zeros((2, b_seg), jnp.float32)], axis=0
+            )  # [8, b_seg]
+            n_r = jnp.sum((blk[5:6] > 0).astype(jnp.int32)).astype(jnp.int32)
+            padded = jnp.concatenate(
+                [blk, jnp.zeros((8, b_slab - b_seg), jnp.float32)], axis=1
+            )
+            # off <= r*b_seg, so the rolled run never wraps b_slab.
+            rolled = pltpu.roll(padded, off, 1)
+            sel = (colA >= off) & (colA < off + n_r)
+            acc_ref[...] += jnp.where(sel, rolled, 0.0)
+            off = off + n_r
+
+        n_in = off
+        fits = wm + n_in <= cap - 128
+        o = (jnp.minimum(wm, cap - b_slab) // 128) * 128
+        shift = wm - o
+        idx = o + colA
+        sel2 = (idx >= wm) & (idx < wm + n_in)
+
+        @pl.when(fits)
+        def _write():
+            slw = pl.ds(pl.multiple_of(o, 128), b_slab)
+            outs = (xo_ref, yo_ref, pxo_ref, pyo_ref, pzo_ref, wo_ref)
+            curs = (x_ref, y_ref, px_ref, py_ref, pz_ref, w_ref)
+            for i, (cur_ref, out_ref) in enumerate(zip(curs, outs)):
+                # shift < 128 and n_in <= a_w, so the live run stays
+                # inside the slab after the roll.
+                rolled2 = pltpu.roll(acc_ref[i : i + 1, :], shift, 1)
+                cur = cur_ref[0, 0, slw].reshape(1, b_slab)
+                out_ref[0, 0, slw] = jnp.where(
+                    sel2, rolled2, cur
+                ).reshape(b_slab)
+
+        @pl.when(jnp.logical_not(fits))
+        def _drop():
+            do_ref[0, 0, :] = jnp.full(
+                (do_ref.shape[-1],), n_in.astype(jnp.float32)
+            )
+
+    pl.run_scoped(scoped, pltpu.VMEM((8, b_slab), jnp.float32))
+
+
+def append_runs(
+    p: ParticleState, incoming: ParticleState, wm, *, b_seg: int,
+    interpret: bool = False, vma_axes=(),
+):
+    """Append `runs = incoming.capacity // b_seg` live-compacted runs per
+    tile at the bucket watermark (deal-route stage 3).  Returns
+    (p2, dropped [T] i32)."""
+    t_total, cap = p.num_tiles, p.capacity
+    a_w = incoming.capacity
+    runs = a_w // b_seg
+    if a_w % b_seg or b_seg % 128:
+        raise ValueError("incoming must be runs * b_seg, b_seg % 128 == 0")
+    if cap < a_w + 256:
+        raise ValueError(
+            "bucket capacity must be >= segment window + 256 (slab slack)"
+        )
+
+    pin = pl.BlockSpec((1, 1, cap), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM)
+    iin = pl.BlockSpec((1, 1, a_w), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM)
+    dspec = pl.BlockSpec((1, 1, 128), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM)
+
+    def r3(a, n):
+        return a.reshape(t_total, 1, n)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t_total,),
+        in_specs=[pin] * 6 + [iin] * 6,
+        out_specs=[pin] * 6 + [dspec],
+    )
+    vma = frozenset(vma_axes) if vma_axes else None
+
+    def sds(shape, dt_):
+        return (jax.ShapeDtypeStruct(shape, dt_, vma=vma) if vma
+                else jax.ShapeDtypeStruct(shape, dt_))
+
+    outs = pl.pallas_call(
+        functools.partial(_append_runs_kernel, b_seg=b_seg, runs=runs, cap=cap),
+        grid_spec=grid_spec,
+        out_shape=[sds((t_total, 1, cap), p.x.dtype)] * 6
+        + [sds((t_total, 1, 128), jnp.float32)],
+        input_output_aliases={1: 0, 2: 1, 3: 2, 4: 3, 5: 4, 6: 5},
+        interpret=interpret,
+    )(
+        wm.astype(jnp.int32),
+        r3(p.x, cap), r3(p.y, cap), r3(p.px, cap), r3(p.py, cap),
+        r3(p.pz, cap), r3(p.w, cap),
+        r3(incoming.x, a_w), r3(incoming.y, a_w), r3(incoming.px, a_w),
+        r3(incoming.py, a_w), r3(incoming.pz, a_w), r3(incoming.w, a_w),
+    )
+    p2 = ParticleState(*(a.reshape(t_total, cap) for a in outs[:6]))
+    dropped = outs[6][:, 0, 0].astype(jnp.int32)
+    return p2, dropped
 
 
 def append_incoming(

@@ -221,6 +221,28 @@ def _extract_and_route(p, tiling, mover_cap, interpret):
     return p1, movers, wm, dropped_a, incoming, ovf_small
 
 
+def _roll_segments(seg: ParticleState, tiling: Tiling, b_seg: int) -> ParticleState:
+    """Deal-route stage 2: arrivals at tile t, direction d, are the d-th
+    segment of t's (-d)-neighbor — a static roll of the tile grid, free of
+    any sort or gather.  Works for the contiguous row-major tile layout
+    (single-device / block-sharded); the striped layout routes via
+    all_gather instead (parallel/balanced.py)."""
+    from ..ops.pallas.rebin_kernels import DIR_OFFSETS
+
+    tr, tc = tiling.tile_rows, tiling.tile_cols
+    rolled = []
+    for ch in tuple(seg):
+        seg4 = ch.reshape(tr, tc, 8, b_seg)
+        parts = [
+            jnp.roll(seg4[:, :, d], (dr, dc), axis=(0, 1))
+            for d, (dr, dc) in enumerate(DIR_OFFSETS)
+        ]
+        rolled.append(
+            jnp.stack(parts, axis=2).reshape(tr * tc, 8 * b_seg)
+        )
+    return ParticleState(*rolled)
+
+
 def rebin_auto(
     p: ParticleState,
     tiling: Tiling,
@@ -228,6 +250,7 @@ def rebin_auto(
     *,
     interpret: bool = False,
     force=False,
+    seg_cap: int = 0,
 ) -> Tuple[ParticleState, jax.Array, jax.Array]:
     """Sortless incremental re-bin: extract movers (all-or-nothing per
     tile), route them through the small filler-key sort, and append at the
@@ -252,7 +275,8 @@ def rebin_auto(
     extract-only pass left leavers' slots as holes, forcing the
     merge-defrag on essentially every re-bin at tight headroom)."""
     from ..ops.pallas.rebin_kernels import (
-        append_incoming, defrag_buckets, split_buckets,
+        append_incoming, append_runs, defrag_buckets, segment_movers,
+        split_buckets,
     )
 
     p1, movers, wm, pending = split_buckets(
@@ -265,7 +289,28 @@ def rebin_auto(
         interpret=interpret,
         force=force,
     )
-    incoming, ovf_small = _route(movers, p, tiling, mover_cap)
+    # Deal route (seg_cap > 0): movers are binned by destination direction
+    # (one Pallas pass over the small mover pool), arrivals fetched by
+    # static grid rolls — no sort in the loop at all.  Measured: the
+    # filler-key route sort was 216 ms/re-bin at the bench deck's
+    # T x mover_cap = 1e7 slots; the segment pass touches 10x fewer slots
+    # and the rolls are pure copies.  seg_cap == 0 keeps the sort route
+    # (non-contiguous layouts, tiny decks).
+    use_seg = seg_cap > 0 and p.capacity >= 8 * seg_cap + 256
+    if use_seg:
+        segments, ovf_small_t = segment_movers(
+            movers,
+            tile_rows=tiling.tile_rows,
+            tile_cols=tiling.tile_cols,
+            tile_ny=tiling.tile_ny,
+            tile_nx=tiling.tile_nx,
+            b_seg=seg_cap,
+            interpret=interpret,
+        )
+        incoming = _roll_segments(segments, tiling, seg_cap)
+        ovf_small = ovf_small_t.sum()
+    else:
+        incoming, ovf_small = _route(movers, p, tiling, mover_cap)
     n_in = jnp.sum((incoming.w > 0).astype(jnp.int32), axis=1)
     # wm == live stay count (split-compacted).  The watermark append needs
     # 128 lanes of anchor-alignment slack; when any bucket is tighter than
@@ -274,6 +319,10 @@ def rebin_auto(
     headroom_ok = jnp.all(wm + n_in <= p.capacity - 256)
 
     def fast(pp):
+        if use_seg:
+            return append_runs(
+                pp, incoming, wm, b_seg=seg_cap, interpret=interpret
+            )
         return append_incoming(pp, incoming, wm, interpret=interpret)
 
     def slow(pp):

@@ -98,10 +98,30 @@ def deposit_chunk(
     return jx, jy, jz
 
 
-def deposit_rho_chunk(xi, eta, qw, tile_ny: int, tile_nx: int, g: int, order: int, dx: float, dy: float):
+def deposit_rho_chunk(xi, eta, qw, tile_ny: int, tile_nx: int, g: int, order: int, dx: float, dy: float, quantize: float = 0.0):
     """Charge density tiles [T, nyg, nxg] at integer (Ez/Gauss) points —
-    the diagnostic side of the continuity/Gauss checks."""
+    the diagnostic side of the continuity/Gauss checks.
+
+    quantize > 0: snap each shape weight to round(quantize * S) / quantize
+    — the effective assignment function of the int8 matched-quantization
+    deposit (ppd_kernel deposit_mode='int8', S = 84 TSC / 63 CIC).  The
+    continuity identity div J = -d rho/dt holds exactly in the quantized
+    ring, so the residual check against an int8-deposited J must build
+    rho from the same quantized shapes."""
     sx = shape_matrix(xi, tile_nx, g, 0.0, order)
     sy = shape_matrix(eta, tile_ny, g, 0.0, order)
+    if quantize > 0:
+        # Match the kernel's qshape exactly: round, then fold the
+        # partition-of-unity defect into the center (|u| < 0.5) column.
+        def quant(s, pos, n):
+            coords = jnp.arange(n + 2 * g, dtype=pos.dtype) - g
+            u = pos[..., None] - coords
+            q = jnp.round(s * quantize)
+            defect = quantize - jnp.sum(q, axis=-1, keepdims=True)
+            center = (u >= -0.5) & (u < 0.5)
+            return (q + jnp.where(center, defect, 0.0)) * (1.0 / quantize)
+
+        sx = quant(sx, xi, tile_nx)
+        sy = quant(sy, eta, tile_ny)
     coef = (qw / (dx * dy))[..., None]
     return jnp.einsum("tkj,tki->tji", sy * coef, sx, precision=_PREC)

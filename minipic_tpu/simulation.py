@@ -104,6 +104,7 @@ def advance_species_tiles(
     interpret: bool = False,
     gather_precision: str = "exact",
     deposit_mode: str = "",
+    qw0: float = 0.0,
     red_mode: str = "",
     wrap: Optional[Tuple[int, int]] = None,
     grid: Optional[Tuple[int, int]] = None,
@@ -137,7 +138,7 @@ def advance_species_tiles(
         kwargs = dict(
             qm=qm, q=q, order=order, tile_ny=nyt, tile_nx=nxt, g=g,
             dt=dt, dx=dx, dy=dy, kc=kc, gather_precision=gather_precision,
-            deposit_mode=deposit_mode, red_mode=red_mode,
+            deposit_mode=deposit_mode, qw0=qw0, red_mode=red_mode,
             wrap=wrap, grid=grid, return_disp=return_disp,
             vma_axes=vma_axes,
         )
@@ -199,8 +200,13 @@ def tile_local_coords(x, y, origins, tile_nx: int, tile_ny: int,
     eta = y - oy
     if grid is not None:
         gnx, gny = grid
-        xi = xi - gnx * jnp.floor((xi + (gnx - tile_nx) * 0.5) / gnx)
-        eta = eta - gny * jnp.floor((eta + (gny - tile_ny) * 0.5) / gny)
+        # Reciprocal multiply, NOT division: bit-identical to the pallas
+        # kernel's fold (ppd_kernel), so diagnostics (rho for continuity/
+        # Gauss) evaluate shapes at the same f32 coordinates the deposit
+        # used — required for the quantized (int8) deposit's exactness
+        # check, where a 1-ulp coordinate gap can flip a shape quantum.
+        xi = xi - gnx * jnp.floor((xi + (gnx - tile_nx) * 0.5) * (1.0 / gnx))
+        eta = eta - gny * jnp.floor((eta + (gny - tile_ny) * 0.5) * (1.0 / gny))
     return xi, eta
 
 
@@ -278,6 +284,15 @@ def build_step(deck: Deck):
                 backend=backend,
                 interpret=interpret,
                 gather_precision=deck.gather_precision,
+                deposit_mode=deck.deposit,
+                # Uniform-weight decks (no density profile) factor q*w out
+                # of the deposit contraction — gates the int8 matched-
+                # quantization deposit (deck.deposit / MINIPIC_DEPOSIT_MODE
+                # = "int8"); the actual uniform value is read from the
+                # state at call time (q * max(w)), so seed_state weight
+                # rescales stay correct.
+                qw0=(spec.charge * dx * dy / spec.ppc
+                     if spec.density is None else 0.0),
                 wrap=kernel_wrap,
                 grid=center_grid,
                 return_disp=trigger_drift,
@@ -365,9 +380,11 @@ def build_step(deck: Deck):
             if use_incremental and mc > 0:
                 from .particles.binning import rebin_auto
 
-                def do(pp):
+                sc = deck.mover_seg_cap(mc)
+
+                def do(pp, sc=sc):
                     return rebin_auto(pp, tiling, mc, interpret=interpret,
-                                      force=force_flag)
+                                      force=force_flag, seg_cap=sc)
             else:
                 def do(pp):
                     out, ov = rebin(pp, tiling)

@@ -110,12 +110,15 @@ def main():
     tot0 = fe0 + ke0
     drift = np.abs(tot - tot0) / tot0
     steps_axis = (np.arange(len(tot)) + 1) * args.chunk
-    for i in range(0, len(tot), max(1, len(tot) // 10)):
-        print(f"step {steps_axis[i]:6d}  E_tot={tot[i]:.8e}  drift={drift[i]:.3e}")
+    stride = 1 if len(tot) <= 80 else len(tot) // 10
+    for i in range(0, len(tot), stride):
+        print(f"step {steps_axis[i]:6d}  E_tot={tot[i]:.8e}  drift={drift[i]:.3e}"
+              f"  field_frac={float(fes[i] / tot[i]):.3e}")
     out = {
         "config": {k: v for k, v in vars(args).items() if k != "json_out"},
         "E0": tot0,
         "max_drift": float(drift.max()),
+        "max_drift_step": int(steps_axis[int(drift.argmax())]),
         "end_drift": float(drift[-1]),
         "field_frac_end": float(fes[-1] / tot[-1]),
         "wall_s": round(wall, 1),

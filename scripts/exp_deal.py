@@ -1,0 +1,103 @@
+"""Round-3: deal-route (segment + roll + run-append) vs sort route at
+bench scale."""
+import time
+
+import jax
+import jax.numpy as jnp
+
+from minipic_tpu.core.config import Deck, SpeciesSpec
+from minipic_tpu.particles.binning import (
+    _roll_segments, _route, rebin_auto, wrap_positions,
+)
+from minipic_tpu.ops.pallas.rebin_kernels import (
+    append_incoming, append_runs, segment_movers, split_buckets,
+)
+from minipic_tpu.simulation import Simulation
+
+
+def sync(x):
+    return float(jax.tree_util.tree_leaves(x)[0][0].sum())
+
+
+def timeit(fn, *args, n=3):
+    sync(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(*args)
+    sync(out)
+    return (time.perf_counter() - t0) / n
+
+
+def main():
+    grid = 512
+    ppc = max(1, round(1e8 / grid**2))
+    deck = Deck(
+        box_x=grid / 10.0, box_y=grid / 10.0, nx=grid, ny=grid,
+        tile_nx=8, tile_ny=8, guard=4,
+        species=(SpeciesSpec("ele", charge=-1.0, mass=1.0, ppc=ppc, uth=0.05,
+                             shape_order=2),),
+        precision="f32", capacity_headroom=1.1, kchunk=0,
+    )
+    sim = Simulation(deck)
+    p = sim.state.species[0]
+    sim.state = None
+    t = deck.tiling
+    # 0.35-cell sigma blast ~= the real drift-trigger mover census
+    # (peak ~1650 movers/tile at the bench deck)
+    key = jax.random.PRNGKey(0)
+    dx_ = jax.random.normal(key, p.x.shape) * 0.35
+    dy_ = jax.random.normal(jax.random.fold_in(key, 1), p.y.shape) * 0.35
+    p = p._replace(x=jnp.where(p.w > 0, p.x + dx_, p.x),
+                   y=jnp.where(p.w > 0, p.y + dy_, p.y))
+    p = jax.jit(lambda q: wrap_positions(q, deck.nx, deck.ny, True))(p)
+
+    mc = deck.mover_cap(p.capacity)
+    sc = deck.mover_seg_cap(mc)
+    print(f"cap={p.capacity} mc={mc} sc={sc}", flush=True)
+
+    splitf = jax.jit(lambda q: split_buckets(
+        q, tile_rows=t.tile_rows, tile_cols=t.tile_cols, tile_ny=t.tile_ny,
+        tile_nx=t.tile_nx, b_cap=mc))
+    ts = timeit(splitf, p)
+    p1, movers, wm, pend = splitf(p)
+    n_mov = jnp.sum((movers.w > 0).astype(jnp.int32), axis=1)
+    print(f"split             {ts*1e3:8.1f} ms   movers/tile max={int(n_mov.max())} mean={float(n_mov.mean()):.0f} pend={int(pend.sum())}", flush=True)
+
+    segf = jax.jit(lambda m: segment_movers(
+        m, tile_rows=t.tile_rows, tile_cols=t.tile_cols, tile_ny=t.tile_ny,
+        tile_nx=t.tile_nx, b_seg=sc))
+    tg = timeit(segf, movers)
+    seg, segdrop = segf(movers)
+    print(f"segment           {tg*1e3:8.1f} ms   dropped={int(segdrop.sum())}", flush=True)
+    segw = seg.w.reshape(t.num_tiles, 8, sc)
+    nd = jnp.sum((segw > 0).astype(jnp.int32), axis=2)
+    print(f"  per-dir max: {[int(x) for x in nd.max(axis=0)]}", flush=True)
+
+    rollf = jax.jit(lambda s: _roll_segments(s, t, sc))
+    tr_ = timeit(rollf, seg)
+    inc = rollf(seg)
+    print(f"rolls             {tr_*1e3:8.1f} ms", flush=True)
+
+    appf = jax.jit(lambda q, i, w: append_runs(q, i, w, b_seg=sc))
+    ta = timeit(appf, p1, inc, wm)
+    p2, dropb = appf(p1, inc, wm)
+    print(f"append_runs       {ta*1e3:8.1f} ms   dropped={int(dropb.sum())}", flush=True)
+    print(f"DEAL TOTAL        {(ts+tg+tr_+ta)*1e3:8.1f} ms", flush=True)
+
+    routef = jax.jit(lambda m, q: _route(m, q, t, mc))
+    tro = timeit(routef, movers, p1)
+    incoming, ovf = routef(movers, p1)
+    app0f = jax.jit(lambda q, i, w: append_incoming(q, i, w))
+    ta0 = timeit(app0f, p1, incoming, wm)
+    print(f"route(sort)       {tro*1e3:8.1f} ms   append {ta0*1e3:8.1f} ms", flush=True)
+    print(f"SORT TOTAL        {(ts+tro+ta0)*1e3:8.1f} ms", flush=True)
+
+    # conservation cross-check on chip
+    live_before = int(jnp.sum((p.w > 0).astype(jnp.int32)))
+    live_after = int(jnp.sum((p2.w > 0).astype(jnp.int32)))
+    print(f"live before/after deal: {live_before} {live_after} "
+          f"(pend {int(pend.sum())})", flush=True)
+
+
+if __name__ == "__main__":
+    main()

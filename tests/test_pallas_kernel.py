@@ -145,3 +145,59 @@ def test_kernel_disp_matches_momentum_bound():
     )
     ref = max_step_displacement([p2], deck.dt, deck.dx, deck.dy)
     np.testing.assert_allclose(float(disp), float(ref), rtol=1e-5)
+
+
+@pytest.mark.parametrize("order", [1, 2])
+def test_int8_deposit_continuity_and_amplitude(order):
+    """int8 matched-quantization deposit (with its quantized-consistent
+    gather): (a) div J == -d rho/dt EXACTLY against rho built from the same
+    quantized shapes, (b) the NET current amplitude matches the HIGHEST
+    deposit even after a uniform weight rescale (regression: a deck-static
+    qw0 deposited 2x beam currents after two_stream's seed halved w — the
+    energy 'drift' tracked (beta-1)/beta of the field energy)."""
+    from minipic_tpu.particles.deposit import deposit_rho_chunk
+    from minipic_tpu.simulation import tile_local_coords
+
+    deck, tiling, p, ftiles = _fixture(order=order, guard=4, kchunk=0)
+    # uniform weight rescale, as a seed_state would do
+    p = p._replace(w=p.w * 0.5)
+    S = 84.0 if order == 2 else 63.0
+    origins = _tile_origins(tiling, jnp.float32)
+    kw = dict(
+        qm=-1.0, q=-1.0, order=order,
+        tile_ny=tiling.tile_ny, tile_nx=tiling.tile_nx, origins=origins,
+        g=deck.guard, dt=deck.dt, dx=deck.dx, dy=deck.dy, kchunk=deck.kchunk,
+        backend="pallas", interpret=True,
+        wrap=(deck.nx, deck.ny), grid=(deck.nx, deck.ny),
+        qw0=-deck.dx * deck.dy / deck.species[0].ppc,
+    )
+
+    def rho_of(pp):
+        xi, eta = tile_local_coords(pp.x, pp.y, origins, tiling.tile_nx,
+                                    tiling.tile_ny, (deck.nx, deck.ny))
+        return deposit_rho_chunk(xi, eta, pp.w * -1.0, tiling.tile_ny,
+                                 tiling.tile_nx, deck.guard, order,
+                                 deck.dx, deck.dy, quantize=S)
+
+    rho0 = rho_of(p)
+    p8, (jx8, jy8, jz8) = advance_species_tiles(p, ftiles,
+                                                deposit_mode="int8", **kw)
+    rho1 = rho_of(p8)
+    # (a) continuity on the tile windows (no fold needed: every particle
+    # stays >1 cell from its window edge in one step, so div J telescopes
+    # within the window)
+    divx = (jx8 - jnp.concatenate(
+        [jnp.zeros_like(jx8[:, :, :1]), jx8[:, :, :-1]], axis=2)) / deck.dx
+    divy = (jy8 - jnp.concatenate(
+        [jnp.zeros_like(jy8[:, :1, :]), jy8[:, :-1, :]], axis=1)) / deck.dy
+    res = (rho1 - rho0) / deck.dt + divx + divy
+    scale = float(jnp.max(jnp.abs(rho0))) / deck.dt
+    assert float(jnp.max(jnp.abs(res))) < 3e-6 * scale
+
+    # (b) net in-plane flux matches HIGHEST (weights halved!)
+    ph, (jxh, jyh, jzh) = advance_species_tiles(p, ftiles,
+                                                deposit_mode="highest", **kw)
+    sx8, sxh = float(jnp.sum(jx8)), float(jnp.sum(jxh))
+    assert abs(sx8 - sxh) < 0.02 * abs(sxh), (sx8, sxh)
+    szd = float(jnp.max(jnp.abs(jz8 - jzh)))
+    assert szd < 0.05 * max(1e-12, float(jnp.max(jnp.abs(jzh))))
