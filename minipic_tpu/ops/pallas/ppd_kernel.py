@@ -612,6 +612,11 @@ def _sub_chunk(
                 [0.5 * (q0x + q1x),
                  0.5 * q0x + (1.0 / 3.0) * (q1x - q0x)], axis=0
             )
+            if not interp_exact:
+                # DEFAULT rounds to bf16 at the MXU anyway; pre-casting
+                # halves the VMEM operand stream (the measured bound).
+                lz = lz.astype(jnp.bfloat16)
+                rz = rz.astype(jnp.bfloat16)
             dz = jax.lax.dot_general(
                 lz, rz, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,

@@ -48,16 +48,39 @@ def _upper_tri(n):
     return (r <= c).astype(jnp.float32)
 
 
-def _permute_dot(payload, p_mat, wsplit: bool):
+def _permute_dot(payload, p_mat, wsplit):
     """payload [R, kc] x permutation p_mat [kc_out, kc] -> [R, kc_out],
     contracting the lane axis; the payload must pass through EXACTLY.
 
-    wsplit: the permutation matrix is 0/1 — exactly representable in bf16 —
-    so only the payload needs word-splitting: three exact bf16 words
-    stacked along K against three copies of p_mat, ONE DEFAULT-precision
-    issue.  Exact reconstruction (each output column sums one payload
-    column per word), at HALF the MAC count of XLA-HIGHEST's six
-    word-pair passes (which cannot know p_mat needs only one word)."""
+    wsplit True (bf16 words): the permutation matrix is 0/1 — exactly
+    representable in bf16 — so only the payload needs word-splitting:
+    three exact bf16 words stacked along K against three copies of p_mat,
+    ONE DEFAULT-precision issue.  Exact reconstruction (each output
+    column sums one payload column per word), at HALF the MAC count of
+    XLA-HIGHEST's six word-pair passes (which cannot know p_mat needs
+    only one word).
+
+    wsplit "int8" (byte transport): a permutation is a pure SELECTION, so
+    move the raw BYTES — bitcast the f32 payload to four int8 byte planes
+    stacked on M, one int8 x int8 dot (int32 accumulation, each output
+    element is a single selected byte: exact, two's-complement wrap and
+    all), reassemble with masks+shifts and bitcast back.  Same K length
+    as ONE bf16 word pass at the MXU's 2x int8 rate — 6x fewer MXU
+    cycles than the 3-word bf16 stack; the byte plane extract/reassemble
+    is lane-wise VPU the (measured-underutilized) vector core absorbs."""
+    if wsplit == "int8":
+        r = payload.shape[0]
+        u = jax.lax.bitcast_convert_type(payload, jnp.int32)  # [R, kc]
+        planes = [u & 0xFF, (u >> 8) & 0xFF, (u >> 16) & 0xFF,
+                  (u >> 24) & 0xFF]
+        bb = jnp.concatenate(planes, axis=0).astype(jnp.int8)  # [4R, kc]
+        d = jax.lax.dot_general(
+            bb, p_mat.astype(jnp.int8), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # [4R, kc_out] — each entry one byte value in [0, 255]
+        o0, o1, o2, o3 = (d[i * r : (i + 1) * r] & 0xFF for i in range(4))
+        v = o0 | (o1 << 8) | (o2 << 16) | (o3 << 24)
+        return jax.lax.bitcast_convert_type(v, jnp.float32)
     if not wsplit:
         return jax.lax.dot_general(
             payload, p_mat.astype(jnp.float32),
@@ -301,8 +324,11 @@ def _wsplit_default(wsplit):
     # Default ON: measured on v5e at 1e8 slots, the word-split permute
     # takes the split kernel 527 -> 421 ms at kc=256 (and 730 -> 622 at
     # kc=128); exactness is unconditional (see _permute_dot).
+    # MINIPIC_REBIN_WSPLIT=int8 selects the byte-transport permute
+    # (exact, ~1/6 the permute MXU cycles; see _permute_dot).
     if wsplit is None:
-        return os.environ.get("MINIPIC_REBIN_WSPLIT", "1") == "1"
+        v = os.environ.get("MINIPIC_REBIN_WSPLIT", "1")
+        return "int8" if v == "int8" else v == "1"
     return wsplit
 
 
