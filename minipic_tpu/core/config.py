@@ -376,6 +376,23 @@ class Deck:
                 )
         if self.dt_factor >= 1.0:
             raise ValueError("dt_factor must be < 1 (CFL)")
+        if self.deposit == "int8":
+            for s in self.species:
+                # Worst-case per-cell int32 magnitude ~ ppc * 9 window
+                # cells * |q0+q1| * |q1-q0|; conversion to f32 is exact
+                # below 2^24 (the exactness standard of the continuity
+                # check).  ppc beyond ~4700 only degrades to ~1-ulp f32
+                # rounding, so warn rather than error.
+                if s.ppc * 9 * 127 * 63 > (1 << 24):
+                    import warnings
+
+                    warnings.warn(
+                        f"deposit='int8': species {s.name!r} ppc={s.ppc} "
+                        "pushes the per-cell int32->f32 conversion past "
+                        "2^24 exactness (ppc <~ 4700); continuity residual "
+                        "degrades from exact to f32-rounding",
+                        stacklevel=2,
+                    )
         nyg = self.tile_ny + 2 * self.guard
         nxg = self.tile_nx + 2 * self.guard
         n_parts = self.nx * self.ny * sum(s.ppc for s in self.species)

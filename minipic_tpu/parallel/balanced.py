@@ -208,6 +208,9 @@ def build_balanced_step(deck: Deck, mesh: Mesh):
                 backend=backend,
                 interpret=interpret,
                 gather_precision=deck.gather_precision,
+                deposit_mode=deck.deposit,
+                qw0=(spec.charge * deck.dx * deck.dy / spec.ppc
+                     if spec.density is None else 0.0),
                 wrap=kernel_wrap,
                 grid=center_grid,
                 return_disp=trigger_drift,

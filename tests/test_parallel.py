@@ -155,10 +155,14 @@ def test_cross_shard_migration_no_losses():
     assert n0 == n1
 
 
-def test_sharded_incremental_rebin_matches_single_device():
+@pytest.mark.parametrize("deposit", ["", "int8"])
+def test_sharded_incremental_rebin_matches_single_device(deposit):
     """Force the movers-only sharded re-bin (Pallas interpret + incremental)
     and compare against the single-device run — the cross-shard version of
-    the incremental-vs-sort equivalence."""
+    the incremental-vs-sort equivalence.  deposit='int8' additionally pins
+    the matched-quantization mode's shard-invariance (the runtime uniform
+    q*max(w) scale is shard-local; guard 4 keeps the fused-gather window
+    the int8 path requires)."""
     deck = _deck(
         mesh_shape=(2, 2),
         use_pallas="on",
@@ -166,6 +170,7 @@ def test_sharded_incremental_rebin_matches_single_device():
         precision="f32",
         kchunk=64,
         capacity_headroom=3.0,
+        **(dict(deposit="int8", guard=4) if deposit else {}),
     )
     ref = Simulation(deck, seed=7)
     sh = ShardedSimulation(deck, seed=7, devices=jax.devices()[:4])
