@@ -67,6 +67,13 @@ def main(argv=None):
         "N>1 removes the per-step host round-trip on small problems)",
     )
     ap.add_argument("--precision", choices=["f32", "f64"], default=None)
+    ap.add_argument(
+        "--deposit", choices=["highest", "int8"], default=None,
+        help="deposit contraction (pallas backend): 'int8' = matched-"
+        "quantization integer-ring Esirkepov + quantized-consistent "
+        "gather — exact continuity, ~10%% faster advance, needs uniform "
+        "particle weights (docs/VALIDATION.md energy table)",
+    )
     ap.add_argument("--list", action="store_true", help="list available decks")
     ap.add_argument("--no-save", action="store_true", help="skip HDF5 snapshots")
     ap.add_argument(
@@ -129,6 +136,8 @@ def main(argv=None):
     deck = case.deck
     if args.precision:
         deck = dataclasses.replace(deck, precision=args.precision)
+    if args.deposit:
+        deck = dataclasses.replace(deck, deposit=args.deposit)
 
     from .diag.history import RunHistory
     from .io.hdf5 import save_fields
