@@ -36,4 +36,7 @@ run "tile sweep 16/4" env BENCH_TILE=16 BENCH_GUARD=4 BENCH_PARTICLES=2e7 python
 run "tile sweep 32/4" env BENCH_TILE=32 BENCH_GUARD=4 BENCH_PARTICLES=2e7 python bench.py
 run "tile sweep 16/8" env BENCH_TILE=16 BENCH_GUARD=8 BENCH_PARTICLES=2e7 python bench.py
 
+# 5. VPU microbenchmark: bf16 vs f32 elementwise throughput.
+run "vpu bf16 probe" python scripts/exp_vpu.py
+
 echo "=== r3 batch done $(date -u +%H:%M:%S)" >> $LOG
