@@ -92,6 +92,17 @@ class Deck:
     species: Tuple[SpeciesSpec, ...] = ()
     boundary: str = "periodic"  # or "absorbing" (masked damping layer)
     absorb_width: int = 16  # damping layer width in cells (absorbing only)
+    # Moving window (laser-plasma staging): the simulation frame follows
+    # the pulse at c, advancing in TILE-COLUMN quanta — a window shift is
+    # then a pure bucket roll (tile-local coordinates, and hence the
+    # drift watermark and all shape windows, are untouched), the trailing
+    # tile column outflows, and a freshly-loaded column enters at the
+    # leading edge (particles/species.inject_column, keyed by the
+    # absolute column so restarts are deterministic).  The reference has
+    # no analogue; this is the capability its laser test case (report
+    # §4) points toward.  Requires boundary="absorbing"; single-device
+    # drivers only (Simulation), no referent in the sharded paths yet.
+    moving_window: bool = False
 
     # --- numerics / machine mapping ---
     precision: str = "f32"  # "f32" | "f64" (f64 needs jax_enable_x64)
@@ -416,6 +427,12 @@ class Deck:
             )
         if self.rebin_trigger not in ("auto", "drift", "interval"):
             raise ValueError(f"unknown rebin_trigger {self.rebin_trigger!r}")
+        if self.moving_window and self.boundary != "absorbing":
+            raise ValueError(
+                "moving_window requires boundary='absorbing' (the window "
+                "outflows at the trailing edge; periodic wrap would "
+                "re-inject stale plasma)"
+            )
         if self.species and self.rebin_trigger == "drift":
             # Drift-triggered re-binning enforces the guard invariant
             # against *measured* motion; the deck only needs room for one

@@ -116,6 +116,10 @@ class SimState(NamedTuple):
     # displacement).  Drives the drift-triggered re-bin; None on states
     # built by pre-drift code paths (treated as "re-bin immediately").
     drift: Optional[jax.Array] = None
+    # Moving window: global cell coordinate of the window's left edge
+    # (int32, advances in tile-column quanta).  None unless the deck sets
+    # moving_window.  Window-frame positions + this offset = lab frame.
+    window_x0: Optional[jax.Array] = None
 
 
 def field_energy(f: FieldState, dx: float, dy: float):

@@ -30,6 +30,8 @@ def save_checkpoint(path: str, state: SimState) -> None:
     arrays["n_species"] = np.asarray(len(state.species))
     if state.drift is not None:
         arrays["drift"] = np.asarray(state.drift)
+    if state.window_x0 is not None:
+        arrays["window_x0"] = np.asarray(state.window_x0)
     np.savez(path, **arrays)
 
 
@@ -54,8 +56,12 @@ def load_checkpoint(path: str, deck: "Deck" = None) -> SimState:
         # bucket with an overfull mover buffer would drop-and-count —
         # pass the deck to get the deferral-capable restore).
         drift = jnp.float32(1e9)
+    w0 = jnp.asarray(z["window_x0"]) if "window_x0" in z else None
+    if w0 is None and deck is not None and getattr(deck, "moving_window", False):
+        w0 = jnp.zeros((), jnp.int32)
     return SimState(
-        fields=fields, species=species, step=jnp.asarray(z["step"]), drift=drift
+        fields=fields, species=species, step=jnp.asarray(z["step"]),
+        drift=drift, window_x0=w0,
     )
 
 

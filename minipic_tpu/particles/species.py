@@ -126,3 +126,74 @@ def counter_streaming_pair(
     b = load_species(dataclasses.replace(spec, ux=-drift), domain, tiling, capacity, k2, dtype)
     # Halve the weights so the pair sums to the nominal density.
     return a._replace(w=a.w * 0.5), b._replace(w=b.w * 0.5)
+
+
+def inject_column(
+    spec: SpeciesSpec,
+    domain: Domain,
+    tiling: Tiling,
+    capacity: int,
+    key: jax.Array,
+    x0_cells,
+    dtype=jnp.float32,
+):
+    """Fresh plasma for the moving window's leading tile column.
+
+    Returns bucket arrays [tile_rows, capacity] for the RIGHTMOST window
+    tile column (window-frame positions), with the density profile and
+    the per-particle RNG evaluated at ABSOLUTE coordinates (x + x0_cells,
+    traced), so a window that has advanced N columns injects exactly the
+    plasma a static run would have loaded there — deterministic across
+    checkpoints/restarts (key is folded with x0_cells by the caller).
+    Same quiet-start lattice, profile->weight ("weight") or thinned-count
+    ("count") semantics as load_species."""
+    ppc_x, ppc_y = _lattice_factors(spec.ppc)
+    nxt, nyt = tiling.tile_nx, tiling.tile_ny
+    per_tile = spec.ppc * nxt * nyt
+    if per_tile > capacity:
+        raise ValueError(f"capacity {capacity} < ppc*tile cells = {per_tile}")
+    rows = tiling.tile_rows
+
+    slots = jnp.arange(per_tile)
+    l = slots % ppc_x
+    m = (slots // ppc_x) % ppc_y
+    cell = slots // (ppc_x * ppc_y)
+    cx = cell % nxt
+    cy = cell // nxt
+    xi = cx.astype(dtype) + (l.astype(dtype) + 0.5) / ppc_x
+    eta = cy.astype(dtype) + (m.astype(dtype) + 0.5) / ppc_y
+
+    trow = jnp.arange(rows).astype(dtype)[:, None]
+    x = (tiling.tile_cols - 1) * nxt + xi[None, :] + jnp.zeros((rows, 1), dtype)
+    y = trow * nyt + eta[None, :]
+    x_abs = x + jnp.asarray(x0_cells, dtype)
+
+    if spec.density is None:
+        n = jnp.ones_like(x)
+    else:
+        n = jnp.asarray(spec.density(x_abs * domain.dx, y * domain.dy), dtype)
+    if spec.load_mode == "count" and spec.density is not None:
+        n_max = jnp.max(n)
+        sub_rank = ((m * ppc_x + l).astype(dtype) + 0.5) / spec.ppc
+        keep = sub_rank[None, :] < (n / jnp.maximum(n_max, 1e-30))
+        w = jnp.where(keep, n_max * (domain.dx * domain.dy / spec.ppc), 0.0)
+    else:
+        w = n * (domain.dx * domain.dy / spec.ppc)
+
+    kx, ky, kz = jax.random.split(key, 3)
+    ux, uy, uz = spec.thermal_spread()
+    shape = (rows, per_tile)
+
+    def mom(k, uth, drift):
+        base = (jax.random.normal(k, shape, dtype) * uth if uth > 0
+                else jnp.zeros(shape, dtype))
+        return base + drift
+
+    px = mom(kx, ux, spec.ux)
+    py = mom(ky, uy, spec.uy)
+    pz = mom(kz, uz, spec.uz)
+
+    def pad(a):
+        return jnp.pad(a.astype(dtype), ((0, 0), (0, capacity - per_tile)))
+
+    return ParticleState(pad(x), pad(y), pad(px), pad(py), pad(pz), pad(w))

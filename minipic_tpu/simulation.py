@@ -427,9 +427,69 @@ def build_step(deck: Deck):
             momentum=jnp.stack(moms) if moms else jnp.zeros((0, 3), deck.dtype),
             shard_live=live.reshape(1),
         )
+        window_x0 = state.window_x0
+        if deck.moving_window:
+            # Tile-quantum window advance: the frame follows the pulse at
+            # c = 1, shifting one TILE COLUMN whenever the lab-frame light
+            # front crosses another tile_nx cells.  Shifting by tile
+            # quanta makes the particle side a pure bucket roll: tile-
+            # local coordinates (and hence the drift watermark, shape
+            # windows, and re-bin budget) are untouched; only the stored
+            # window-frame x picks up a -tile_nx.  Trailing-column
+            # particles outflow (physical, not counted as overflow); the
+            # leading column is loaded fresh at its ABSOLUTE position
+            # (inject_column), RNG keyed by the absolute column so a
+            # restarted run injects identical plasma.
+            from .particles.species import inject_column
+
+            shift_c = tiling.tile_nx
+            period = shift_c * dx  # window advance per shift (c = 1)
+            cnt0 = jnp.floor(state.step.astype(jnp.float32) * dt / period)
+            cnt1 = jnp.floor(
+                (state.step.astype(jnp.float32) + 1.0) * dt / period)
+            shift_now = cnt1 > cnt0
+
+            col_mask = jax.lax.broadcasted_iota(
+                jnp.int32, (deck.ny, deck.nx), 1) < (deck.nx - shift_c)
+
+            def _shift(args):
+                f_, sps, w0 = args
+                w0n = w0 + shift_c
+                f_ = FieldState(*(
+                    jnp.where(col_mask, jnp.roll(c, -shift_c, axis=1), 0.0)
+                    for c in f_))
+                out = []
+                for i, (spec, p) in enumerate(zip(deck.species, sps)):
+                    key = jax.random.fold_in(
+                        jax.random.fold_in(jax.random.PRNGKey(0x77), i), w0n)
+                    inj = inject_column(spec, deck.domain, tiling,
+                                        p.capacity, key, w0n, deck.dtype)
+                    chans = []
+                    for name in ParticleState._fields:
+                        a = getattr(p, name).reshape(
+                            tiling.tile_rows, tiling.tile_cols, -1)
+                        a = jnp.roll(a, -1, axis=1)
+                        if name == "x":
+                            a = a - shift_c
+                        a = a.at[:, -1, :].set(getattr(inj, name))
+                        chans.append(a.reshape(p.num_tiles, p.capacity))
+                    out.append(ParticleState(*chans))
+                return f_, tuple(out), w0n
+
+            def _keep(args):
+                return args
+
+            if window_x0 is None:
+                raise ValueError(
+                    "deck.moving_window but SimState.window_x0 is unset — "
+                    "initialize it to 0 (Simulation does)")
+            f, binned, window_x0 = jax.lax.cond(
+                shift_now, _shift, _keep, (f, tuple(binned), window_x0))
+            binned = list(binned)
+
         new_state = SimState(
             fields=f, species=tuple(binned), step=state.step + 1,
-            drift=drift_now,
+            drift=drift_now, window_x0=window_x0,
         )
         return new_state, diag
 
@@ -467,6 +527,8 @@ class Simulation:
         self.state = SimState(
             fields=fields, species=tuple(species), step=jnp.zeros((), jnp.int32),
             drift=jnp.zeros((), jnp.float32),
+            window_x0=(jnp.zeros((), jnp.int32) if deck.moving_window
+                       else None),
         )
         self._step = jax.jit(build_step(deck))
         self._capmgrs = None  # per-species CapacityManagers, lazily built
