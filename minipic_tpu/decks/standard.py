@@ -241,12 +241,50 @@ def load_balance_bunching(nx: int = 512, ny: int = 512, ppc: int = 64) -> Case:
                 notes="sharded 2x4; drifting bunch crosses every shard")
 
 
+def laser_wakefield_window(nx: int = 512, ny: int = 256, ppc: int = 4) -> Case:
+    """Moving-window laser wakefield: the laser_plasma scenario in a frame
+    that follows the pulse at c (deck.moving_window), so the interaction
+    can run for arbitrary propagation distances on a fixed grid.  Fresh
+    plasma enters at the leading edge at its ABSOLUTE density-profile
+    position (a long upramp into a uniform underdense slab); depleted
+    plasma outflows behind.  Beyond the reference's scope — the staging
+    capability its laser test case points toward."""
+    box_x, box_y = 51.2, 25.6
+
+    def profile(x, y):
+        # upramp between x = 30 and 50 (absolute/lab coords), then flat.
+        return 0.05 * 0.5 * (1.0 + jnp.tanh((x - 40.0) / 4.0))
+
+    deck = Deck(
+        box_x=box_x, box_y=box_y, nx=nx, ny=ny, tile_nx=8, tile_ny=8,
+        guard=4,
+        species=(
+            SpeciesSpec("ele", charge=-1.0, mass=1.0, ppc=ppc, uth=0.01,
+                        density=profile, shape_order=2),
+            SpeciesSpec("ion", charge=+1.0, mass=1836.0, ppc=ppc,
+                        density=profile, shape_order=2),
+        ),
+        boundary="absorbing", absorb_width=16, moving_window=True,
+        sim_time=200.0,
+    )
+    return Case(
+        "laser_wakefield_window",
+        deck,
+        init_fields=lambda d: finit.gaussian_laser_x(
+            d.domain, a0=2.0, k0=10.0, x_center=10.0, length=3.0,
+            waist=6.0, dtype=d.dtype
+        ),
+        notes="moving window follows the pulse at c; plasma streams through",
+    )
+
+
 CASES: Dict[str, Callable[..., Case]] = {
     "reference_pulse": reference_pulse,
     "two_stream": two_stream,
     "weibel": weibel,
     "landau": landau,
     "laser_plasma": laser_plasma,
+    "laser_wakefield_window": laser_wakefield_window,
     "load_balance_stress": load_balance_stress,
     "load_balance_stress_counts": load_balance_stress_counts,
     "load_balance_bunching": load_balance_bunching,
