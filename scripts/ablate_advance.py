@@ -79,6 +79,8 @@ def main():
                 kc=(p.capacity if deck.kchunk <= 0 else deck.kchunk),
                 wrap=(deck.nx, deck.ny), grid=(deck.nx, deck.ny),
                 gather_precision=gather, ablate=ablate, body_sub=args.bodysub,
+                # uniform-weight gate so MINIPIC_DEPOSIT_MODE=int8 engages
+                qw0=-deck.dx * deck.dy / deck.species[0].ppc,
             )
         return timeit(jax.jit(f), p, ftiles)
 

@@ -36,6 +36,9 @@ run "tile sweep 16/4" env BENCH_TILE=16 BENCH_GUARD=4 BENCH_PARTICLES=2e7 python
 run "tile sweep 32/4" env BENCH_TILE=32 BENCH_GUARD=4 BENCH_PARTICLES=2e7 python bench.py
 run "tile sweep 16/8" env BENCH_TILE=16 BENCH_GUARD=8 BENCH_PARTICLES=2e7 python bench.py
 
+# 4b. Stage ablation under the int8 deposit (new budget table).
+run "ablate int8" env MINIPIC_DEPOSIT_MODE=int8 python scripts/ablate_advance.py
+
 # 5. VPU microbenchmark: bf16 vs f32 elementwise throughput.
 run "vpu bf16 probe" python scripts/exp_vpu.py
 
