@@ -280,13 +280,19 @@ def _sub_chunk(
         # with the int8 deposit's s0 endpoints — one qshape evaluation
         # serves both, which is exactly the consistency the physics needs.
         S = 84.0 if order == 2 else 63.0
+        if "qshape" in abl:  # perf attribution: scale without round/fold
+            def _qs(sv, u):
+                return sv * S
+        else:
+            def _qs(sv, u):
+                return _qshape(sv, u, S)
         qx_i = qy_i = qx_h = qy_h = None
         if gather_mode == "quant" or deposit_mode == "int8":
-            qx_i = _qshape(sx_i, xi - cx, S)
-            qy_i = _qshape(sy_i, eta - cy, S)
+            qx_i = _qs(sx_i, xi - cx)
+            qy_i = _qs(sy_i, eta - cy)
         if gather_mode == "quant":
-            qx_h = _qshape(sx_h, xi - cx - 0.5, S)
-            qy_h = _qshape(sy_h, eta - cy - 0.5, S)
+            qx_h = _qs(sx_h, xi - cx - 0.5)
+            qy_h = _qs(sy_h, eta - cy - 0.5)
 
         if fused_gather:
             # Both stagger classes in ONE dot: the caller stacks the six
@@ -577,9 +583,9 @@ def _sub_chunk(
             #   assignment function (no self-force from shape mismatch).
             zm = jnp.where(wgt > 0, 1.0, 0.0)
             q0y = qy_i * zm
-            q1y = _qshape(s1y, eta1 - cy, S) * zm
+            q1y = _qs(s1y, eta1 - cy) * zm
             q0x = qx_i
-            q1x = _qshape(s1x, xi1 - cx, S)
+            q1x = _qs(s1x, xi1 - cx)
             lhs8 = jnp.concatenate(
                 [q0y + q1y, q1y - q0y], axis=0
             ).astype(jnp.int8)  # [2nyg, KC]

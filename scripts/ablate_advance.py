@@ -91,7 +91,7 @@ def main():
     print(f"fast-gather      {t*1e3:8.1f} ms   -> HIGHEST 6-pass ~{(t_full-t)*1e3:.1f} ms", flush=True)
     t = run("", gather="f32x3")
     print(f"f32x3-gather     {t*1e3:8.1f} ms   (bf16x3, ~1e-6 force err)", flush=True)
-    for ab in ("red", "boris", "esirkepov", "prep", "stagger-evals",
+    for ab in ("red", "boris", "esirkepov", "prep", "stagger-evals", "qshape",
                "depdot", "evals",
                "red,boris,esirkepov,prep,stagger-evals",
                "red,boris,esirkepov,prep,stagger-evals,depdot",
