@@ -65,10 +65,14 @@ def test_pulse_stays_in_window():
 def test_plasma_injection_balances_outflow():
     """Uniform plasma: every shift drops one full tile column and injects
     one full tile column — live count and per-column weight must be
-    steady, and the injected plasma carries the loader's weight."""
+    steady, the injected plasma carries the loader's weight, and a
+    charge-neutral quiescent plasma stays quiescent through shifts (a
+    charge-imbalanced injector would ring the fields at every shift)."""
     deck = _pulse_deck(
         species=(SpeciesSpec("ele", charge=-1.0, mass=1.0, ppc=4,
-                             uth=0.01),),
+                             uth=0.01),
+                 SpeciesSpec("ion", charge=+1.0, mass=1836.0, ppc=4,
+                             uth=0.0)),
         guard=2,
     )
     sim = Simulation(deck)
@@ -87,6 +91,16 @@ def test_plasma_injection_balances_outflow():
     wlast = np.asarray(p.w).reshape(t.tile_rows, t.tile_cols, -1)[:, -1, :]
     live = wlast[wlast > 0]
     np.testing.assert_allclose(live, w_ref, rtol=1e-6)
+    # quiescence: the window adds no field energy beyond the absorbing-
+    # wall sheath this box has anyway (measured: fe/ke = 0.075 without
+    # the window, 0.071 with it — thermal electrons outrun the cold ions
+    # into the walls and leave a positive sheath; a charge-imbalanced
+    # INJECTOR would instead pump fields at every ~23-step shift).
+    from minipic_tpu.core.state import field_energy, kinetic_energy
+
+    fe = float(field_energy(sim.state.fields, deck.dx, deck.dy))
+    ke = float(kinetic_energy(sim.state.species[0], 1.0))
+    assert fe < 0.1 * ke, (fe, ke)
 
 
 def test_window_checkpoint_roundtrip(tmp_path):
