@@ -341,6 +341,21 @@ def build_step(deck: Deck):
             <= deck.guard - deck.shape_reach()
         )
 
+        # Moving window: a shift rolls BUCKETS, so any particle that left
+        # its trailing-column tile since the last re-bin would be dropped
+        # with its stale bucket despite being in-window — force the
+        # buckets fresh on shift steps (computed here so the re-bin
+        # predicate below can fold it in; the shift itself happens after
+        # re-binning).
+        if deck.moving_window:
+            _period = tiling.tile_nx * dx
+            _c0 = jnp.floor(state.step.astype(jnp.float32) * dt / _period)
+            _c1 = jnp.floor(
+                (state.step.astype(jnp.float32) + 1.0) * dt / _period)
+            shift_now = _c1 > _c0
+        else:
+            shift_now = None
+
         if trigger_drift:
             if state.drift is None:
                 raise ValueError(
@@ -350,6 +365,8 @@ def build_step(deck: Deck):
             disp = functools.reduce(jnp.maximum, disps)
             drift_now = state.drift + disp
             do_rebin_pred = drift_now > deck.drift_threshold()
+            if shift_now is not None:
+                do_rebin_pred = do_rebin_pred | shift_now
             # Beyond this line a deferred re-bin may no longer wait:
             # extract with counted drops rather than corrupt physics.
             force_flag = drift_now > deck.force_threshold()
@@ -368,6 +385,8 @@ def build_step(deck: Deck):
             else:
                 do_rebin_pred = sched
                 force_flag = True  # no deferral budget in the guard
+            if shift_now is not None and do_rebin_pred is not None:
+                do_rebin_pred = do_rebin_pred | shift_now
 
         overflow = jnp.zeros((), jnp.int32)
         pending_total = jnp.zeros((), jnp.int32)
@@ -443,11 +462,6 @@ def build_step(deck: Deck):
             from .particles.species import inject_column
 
             shift_c = tiling.tile_nx
-            period = shift_c * dx  # window advance per shift (c = 1)
-            cnt0 = jnp.floor(state.step.astype(jnp.float32) * dt / period)
-            cnt1 = jnp.floor(
-                (state.step.astype(jnp.float32) + 1.0) * dt / period)
-            shift_now = cnt1 > cnt0
 
             col_mask = jax.lax.broadcasted_iota(
                 jnp.int32, (deck.ny, deck.nx), 1) < (deck.nx - shift_c)
