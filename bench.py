@@ -98,18 +98,23 @@ def main():
     # 10-step window could miss the re-bin steady state entirely.
     inner = int(os.environ.get("BENCH_STEPS", 50))
 
-    # Rung ladder: particle-count fallbacks for HBM, then the f32-HIGHEST
-    # deposit as a last resort (the int8 default has tighter VMEM scopes
-    # at whole-bucket chunks; a compile-time scoped-vmem failure must
-    # degrade to the known-good config, not to bench-failed).
-    rungs = [(n, None) for n in (target_particles, target_particles / 2,
-                                 target_particles / 4, 1e7)]
-    if os.environ.get("BENCH_DEPOSIT", "int8") == "int8":
-        rungs.insert(1, (target_particles, "highest"))
-    for n_try, dep_override in rungs:
+    # Rung ladder: particle-count fallbacks for HBM first (smaller
+    # capacity also shrinks the whole-bucket VMEM scope), then — as the
+    # true last resort — the f32-HIGHEST deposit at full size (the int8
+    # default could in principle hit a Mosaic rejection the smaller
+    # sizes share; the known-good config must still produce a number).
+    base_mode = os.environ.get("BENCH_DEPOSIT", "int8")
+    rungs = [(n, base_mode) for n in (target_particles, target_particles / 2,
+                                      target_particles / 4, 1e7)]
+    if base_mode == "int8":
+        rungs.append((target_particles, "highest"))
+        rungs.append((target_particles / 2, "highest"))
+    int8_broken = False
+    for n_try, dep_mode in rungs:
+        if int8_broken and dep_mode == "int8":
+            continue  # a lowering failure is size-independent; skip to f32
         try:
-            if dep_override is not None:
-                os.environ["BENCH_DEPOSIT"] = dep_override
+            os.environ["BENCH_DEPOSIT"] = dep_mode
             sim, multi, deck = build(int(n_try), grid, rebin_interval)
             n_real = sum(int(s.alive_count()) for s in sim.state.species)
             state0, sim.state = sim.state, None  # drop the extra reference
@@ -132,17 +137,17 @@ def main():
             return
         except Exception as e:
             err = e
-            ran_int8 = os.environ.get("BENCH_DEPOSIT", "int8") == "int8"
-            if not _is_oom(e) and not ran_int8:
+            if not _is_oom(e) and dep_mode != "int8":
                 break  # real bug in the baseline config — do not retry
             if not _is_oom(e):
                 # int8-specific failure (e.g. a Mosaic lowering/VMEM-scope
-                # rejection): fall through to the f32-HIGHEST rung.
+                # rejection): size-independent, skip straight to f32.
+                int8_broken = True
                 print(f"bench: int8 config failed, falling back: "
                       f"{str(e)[:200]}", file=sys.stderr)
                 continue
-            print(f"bench: {n_try:.1e} particles OOM, retrying smaller: "
-                  f"{str(e)[:200]}", file=sys.stderr)
+            print(f"bench: {n_try:.1e} particles ({dep_mode}) OOM, "
+                  f"retrying: {str(e)[:200]}", file=sys.stderr)
             # The remote TPU server frees a crashed client's allocations
             # with a delay; retrying immediately cascades spurious OOMs.
             time.sleep(45)

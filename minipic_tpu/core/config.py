@@ -59,6 +59,13 @@ class SpeciesSpec:
     #             load-balance stress decks where per-chip work (~ live
     #             particles) must actually contrast.
     load_mode: str = "weight"
+    # Profile ceiling for load_mode="count" (the thinning denominator and
+    # the survivors' uniform weight): None derives max(n) over whatever
+    # domain the loader evaluates — fine for a static box, WRONG for a
+    # moving window (each injected column would renormalize against its
+    # own local max).  Declare it for windowed count-mode decks;
+    # Deck.validate enforces.
+    n_max: Optional[float] = None
 
     def thermal_spread(self) -> Tuple[float, float, float]:
         return (
@@ -142,7 +149,7 @@ class Deck:
     # Deposit contraction: "" = env MINIPIC_DEPOSIT_MODE or "highest"
     # (f32-exact 6-pass).  "int8" = matched-quantization integer-ring
     # Esirkepov (continuity EXACT against the quantized rho; shapes
-    # rounded to 1/84ths (TSC) / 1/63rds (CIC) on BOTH the gather and
+    # rounded to 1/83rds (TSC) / 1/62nds (CIC) on BOTH the gather and
     # deposit sides so there is no self-force).  int8 needs uniform
     # particle weights (density profiles fall back to highest) and passes
     # the 10k-step two-stream energy acceptance on chip
@@ -389,20 +396,17 @@ class Deck:
             raise ValueError("dt_factor must be < 1 (CFL)")
         if self.deposit == "int8":
             for s in self.species:
-                # Worst-case per-cell int32 magnitude ~ ppc * 9 window
-                # cells * |q0+q1| * |q1-q0|; conversion to f32 is exact
-                # below 2^24 (the exactness standard of the continuity
-                # check).  ppc beyond ~4700 only degrades to ~1-ulp f32
-                # rounding, so warn rather than error.
-                if s.ppc * 9 * 127 * 63 > (1 << 24):
-                    import warnings
-
-                    warnings.warn(
+                # Worst-case per-cell int32 accumulation: 9 window cells
+                # x ppc particles x |q0+q1|*|q1-q0| <= 126^2 each.  An
+                # int32 OVERFLOW corrupts currents silently, so this is
+                # an error, not a warning.  (The int32->f32 output
+                # conversion rounds past 2^24 — benign: both sides of
+                # the continuity check share it.)
+                if s.ppc * 9 * 126 * 126 > (1 << 31):
+                    raise ValueError(
                         f"deposit='int8': species {s.name!r} ppc={s.ppc} "
-                        "pushes the per-cell int32->f32 conversion past "
-                        "2^24 exactness (ppc <~ 4700); continuity residual "
-                        "degrades from exact to f32-rounding",
-                        stacklevel=2,
+                        "can overflow the int32 deposit accumulator "
+                        "(need ppc <= ~15000)"
                     )
         nyg = self.tile_ny + 2 * self.guard
         nxg = self.tile_nx + 2 * self.guard
@@ -433,6 +437,15 @@ class Deck:
                 "outflows at the trailing edge; periodic wrap would "
                 "re-inject stale plasma)"
             )
+        if self.moving_window:
+            for s in self.species:
+                if s.load_mode == "count" and s.density is not None                         and s.n_max is None:
+                    raise ValueError(
+                        f"species {s.name!r}: load_mode='count' under a "
+                        "moving window needs an explicit n_max (each "
+                        "injected column would otherwise renormalize "
+                        "against its own local profile max)"
+                    )
         if self.species and self.rebin_trigger == "drift":
             # Drift-triggered re-binning enforces the guard invariant
             # against *measured* motion; the deck only needs room for one

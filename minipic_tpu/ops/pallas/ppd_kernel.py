@@ -78,6 +78,19 @@ def _words3(a):
     return w0, w1, w2
 
 
+def qshape_scale(order: int) -> float:
+    """Shape-quantization scale S for the matched-quantization (int8)
+    pipeline.  The partition-of-unity fold can raise the center row to
+    round(S*smax) + 1 (the defect is an integer in {-1, 0, +1}), and the
+    Esirkepov operands carry |q0 + q1| — for a near-stationary particle
+    both endpoints hit the worst case simultaneously, so int8 safety
+    needs 2*(round(S*smax) + 1) <= 127:  TSC (smax = 0.75) -> S = 83,
+    CIC (smax = 1) -> S = 62.  (S = 84 allowed q0+q1 = 128 at an exact
+    cell center — caught in review, not by tests: quiet-start lattices
+    never load a particle exactly at a center.)"""
+    return 83.0 if order == 2 else 62.0
+
+
 def _qshape(s, u, S):
     """round(S*s) with the partition-of-unity defect folded into the CENTER
     row (|u| < 0.5 — exactly one per particle since u steps by 1 along the
@@ -279,7 +292,7 @@ def _sub_chunk(
         # Matched shape quantization (gather side).  qx_i/qy_i are shared
         # with the int8 deposit's s0 endpoints — one qshape evaluation
         # serves both, which is exactly the consistency the physics needs.
-        S = 84.0 if order == 2 else 63.0
+        S = qshape_scale(order)
         if "qshape" in abl:  # perf attribution: scale without round/fold
             def _qs(sv, u):
                 return sv * S
@@ -573,8 +586,11 @@ def _sub_chunk(
             # * Requires uniform particle weights (qw0 = q*w factors out
             #   of the contraction; the caller verifies and falls back to
             #   HIGHEST otherwise).  Range: |q0+q1| <= 2*S*smax <= 127
-            #   and int32->f32 output conversion is exact below 2^24
-            #   (ppc*9*127*63 — holds to ~4700 ppc; Deck.validate warns).
+            #   int32 accumulation cannot overflow below ppc ~ 15000
+            #   (9 window cells x ppc x 126^2 < 2^31; Deck.validate
+            #   errors).  The int32->f32 output conversion rounds
+            #   past 2^24, which both sides of the continuity check
+            #   share — roundoff-standard, not a conservation leak.
             # * jz has no divergence in 2D (conservation-free); its
             #   operands use the same quantized shapes for gather/deposit
             #   consistency, contracted by one compiler-managed dot.
@@ -779,13 +795,17 @@ def fused_push_deposit(
         deposit_mode = "highest"
     gather_precision = _os.environ.get("MINIPIC_GATHER_MODE",
                                        gather_precision)
-    if deposit_mode == "int8" and gather_precision == "exact":
-        # Matched quantization is a CONSISTENCY contract: force (gather)
-        # and current (deposit) must evaluate the same assignment
-        # function, or every particle exerts an O(1/S) self-force that
-        # secularly heats (measured: 5.3% max 10k-step energy drift with
-        # exact gather + int8 deposit vs the consistent pair's).
-        gather_precision = "quant"
+    if deposit_mode == "int8" and gather_precision != "quant":
+        # Matched quantization is a CONSISTENCY contract, not a knob:
+        # force (gather) and current (deposit) must evaluate the same
+        # assignment function, or every particle exerts an O(1/S)
+        # self-force that secularly heats (measured: 5.3% max 10k-step
+        # energy drift with exact gather + int8 deposit vs 0.02% for the
+        # consistent pair).  int8 therefore overrides ANY other gather
+        # mode (exact/f32x3/fast included); the mismatched combination
+        # exists only via MINIPIC_GATHER_MODE=exact for A/B experiments.
+        if _os.environ.get("MINIPIC_GATHER_MODE") is None:
+            gather_precision = "quant"
     if gather_precision == "quant" and not fused_gather:
         gather_precision = "exact"
 

@@ -368,7 +368,7 @@ def extract_movers(
         _extract_kernel,
         tile_nx=tile_nx, tile_ny=tile_ny, tile_cols=tile_cols,
         tile_rows=tile_rows, kc=kc, n_chunks=cap // kc, b_cap=b_cap,
-        n_tiles=t_total, wsplit=_wsplit_default(wsplit) and not interpret,
+        n_tiles=t_total, wsplit=(False if interpret else _wsplit_default(wsplit)),
     )
     pin = pl.BlockSpec((1, 1, cap), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM)
     mspec = pl.BlockSpec((1, N_CH, b_cap), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM)
@@ -620,7 +620,7 @@ def split_buckets(
         _split_kernel,
         tile_nx=tile_nx, tile_ny=tile_ny, tile_cols=tile_cols,
         tile_rows=tile_rows, kc=kc, n_chunks=cap // kc, b_cap=b_cap, cap=cap,
-        n_tiles=t_total, wsplit=_wsplit_default(wsplit) and not interpret,
+        n_tiles=t_total, wsplit=(False if interpret else _wsplit_default(wsplit)),
     )
     pin = pl.BlockSpec((1, 1, cap), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM)
     mspec = pl.BlockSpec((1, N_CH, b_cap), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM)
@@ -874,7 +874,7 @@ def segment_movers(
         _segment_kernel,
         tile_nx=tile_nx, tile_ny=tile_ny, tile_cols=tile_cols,
         tile_rows=tile_rows, kc=kc, n_chunks=mc // kc, b_seg=b_seg,
-        n_tiles=t_total, wsplit=_wsplit_default(wsplit) and not interpret,
+        n_tiles=t_total, wsplit=(False if interpret else _wsplit_default(wsplit)),
     )
     pin = pl.BlockSpec((1, 1, mc), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM)
     sspec = pl.BlockSpec((1, N_CH, 8 * b_seg), lambda i, *_: (i, 0, 0),
@@ -1080,7 +1080,7 @@ def defrag_buckets(
     outs = pl.pallas_call(
         functools.partial(
             _defrag_kernel, kc=kc, n_chunks=cap // kc,
-            in_chunks=b_in // kc, cap=cap, wsplit=_wsplit_default(wsplit) and not interpret,
+            in_chunks=b_in // kc, cap=cap, wsplit=(False if interpret else _wsplit_default(wsplit)),
         ),
         grid=(t_total,),
         in_specs=in_specs,

@@ -104,7 +104,7 @@ def deposit_rho_chunk(xi, eta, qw, tile_ny: int, tile_nx: int, g: int, order: in
 
     quantize > 0: snap each shape weight to round(quantize * S) / quantize
     — the effective assignment function of the int8 matched-quantization
-    deposit (ppd_kernel deposit_mode='int8', S = 84 TSC / 63 CIC).  The
+    deposit (ppd_kernel deposit_mode='int8', S = qshape_scale(order)).  The
     continuity identity div J = -d rho/dt holds exactly in the quantized
     ring, so the residual check against an int8-deposited J must build
     rho from the same quantized shapes."""

@@ -87,7 +87,8 @@ def load_species(
         # so live counts follow the profile while every survivor carries the
         # same weight — per-tile work now genuinely contrasts (the
         # load-balance stress axis the weight mode cannot exercise).
-        n_max = jnp.max(n)
+        n_max = (jnp.asarray(spec.n_max, dtype) if spec.n_max is not None
+                 else jnp.max(n))
         sub_rank = ((m * ppc_x + l).astype(dtype) + 0.5) / spec.ppc  # [per_tile]
         keep = sub_rank[None, :] < (n / jnp.maximum(n_max, 1e-30))
         w = jnp.where(keep, n_max * (domain.dx * domain.dy / spec.ppc), 0.0)
@@ -173,7 +174,12 @@ def inject_column(
     else:
         n = jnp.asarray(spec.density(x_abs * domain.dx, y * domain.dy), dtype)
     if spec.load_mode == "count" and spec.density is not None:
-        n_max = jnp.max(n)
+        # The ceiling MUST be the declared global n_max here (validate
+        # enforces it for windowed decks): a per-column max would give
+        # columns injected at different window positions different
+        # survivor weights and counts than the static load.
+        n_max = (jnp.asarray(spec.n_max, dtype) if spec.n_max is not None
+                 else jnp.max(n))
         sub_rank = ((m * ppc_x + l).astype(dtype) + 0.5) / spec.ppc
         keep = sub_rank[None, :] < (n / jnp.maximum(n_max, 1e-30))
         w = jnp.where(keep, n_max * (domain.dx * domain.dy / spec.ppc), 0.0)

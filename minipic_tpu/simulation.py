@@ -348,11 +348,19 @@ def build_step(deck: Deck):
         # predicate below can fold it in; the shift itself happens after
         # re-binning).
         if deck.moving_window:
+            # Shift when the light front has crossed the NEXT tile-column
+            # boundary beyond the shifts already taken.  Anchoring on
+            # window_x0 (exact int32) instead of floor(step*dt)-floor(
+            # (step-1)*dt) makes the schedule self-correcting: an f32
+            # rounding hiccup delays a shift by a step and the next step
+            # catches up, and nothing freezes at step ~2^24 where
+            # f32(step)+1 == f32(step) would kill an increment-based
+            # predicate for good.
             _period = tiling.tile_nx * dx
-            _c0 = jnp.floor(state.step.astype(jnp.float32) * dt / _period)
-            _c1 = jnp.floor(
-                (state.step.astype(jnp.float32) + 1.0) * dt / _period)
-            shift_now = _c1 > _c0
+            _shifts_done = (state.window_x0 // tiling.tile_nx).astype(
+                jnp.float32)
+            _t1 = (state.step.astype(jnp.float32) + 1.0) * jnp.float32(dt)
+            shift_now = _t1 >= (_shifts_done + 1.0) * _period
         else:
             shift_now = None
 
@@ -365,11 +373,16 @@ def build_step(deck: Deck):
             disp = functools.reduce(jnp.maximum, disps)
             drift_now = state.drift + disp
             do_rebin_pred = drift_now > deck.drift_threshold()
-            if shift_now is not None:
-                do_rebin_pred = do_rebin_pred | shift_now
             # Beyond this line a deferred re-bin may no longer wait:
             # extract with counted drops rather than corrupt physics.
             force_flag = drift_now > deck.force_threshold()
+            if shift_now is not None:
+                # A shift rolls buckets, so deferral is not an option on
+                # shift steps: a pending mover in a trailing-column
+                # bucket would be dropped UNcounted with the column.
+                # Forced extraction drops-and-counts instead.
+                do_rebin_pred = do_rebin_pred | shift_now
+                force_flag = force_flag | shift_now
         else:
             drift_now = state.drift
             sched = (
@@ -385,8 +398,11 @@ def build_step(deck: Deck):
             else:
                 do_rebin_pred = sched
                 force_flag = True  # no deferral budget in the guard
-            if shift_now is not None and do_rebin_pred is not None:
-                do_rebin_pred = do_rebin_pred | shift_now
+            if shift_now is not None:
+                # No deferral into a bucket roll (see the drift branch).
+                if do_rebin_pred is not None:
+                    do_rebin_pred = do_rebin_pred | shift_now
+                force_flag = jnp.logical_or(force_flag, shift_now)
 
         overflow = jnp.zeros((), jnp.int32)
         pending_total = jnp.zeros((), jnp.int32)

@@ -47,7 +47,8 @@ def continuity(order=2):
     g = deck.guard
     backend, interpret = resolve_backend(deck)
     spec = deck.species[0]
-    S = 84.0 if order == 2 else 63.0
+    from minipic_tpu.ops.pallas.ppd_kernel import qshape_scale
+    S = qshape_scale(order)
     qw0 = spec.charge * deck.dx * deck.dy / spec.ppc
 
     @jax.jit

@@ -16,6 +16,12 @@ run() {
   sleep 20
 }
 
+# 0. Re-certify the int8 energy acceptance at the corrected S = 83
+#    (the S = 84 run in docs/energy_tpu_10k_int8q.json predates the
+#    int8-range fix; physically equivalent, but the artifact must match
+#    the shipped code).
+run "energy int8 S=83" env MINIPIC_DEPOSIT_MODE=int8 python scripts/energy_probe.py --order 2 --uth 0.05 --guard 4 --json-out docs/energy_tpu_10k_int8q.json
+
 # 1. Headline bench: int8 (the new default) and the f32 comparison.
 run "bench int8 (headline)" python bench.py
 run "bench highest (comparison)" env BENCH_DEPOSIT=highest python bench.py

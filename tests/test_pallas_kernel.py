@@ -161,7 +161,8 @@ def test_int8_deposit_continuity_and_amplitude(order):
     deck, tiling, p, ftiles = _fixture(order=order, guard=4, kchunk=0)
     # uniform weight rescale, as a seed_state would do
     p = p._replace(w=p.w * 0.5)
-    S = 84.0 if order == 2 else 63.0
+    from minipic_tpu.ops.pallas.ppd_kernel import qshape_scale
+    S = qshape_scale(order)
     origins = _tile_origins(tiling, jnp.float32)
     kw = dict(
         qm=-1.0, q=-1.0, order=order,
