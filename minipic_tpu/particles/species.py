@@ -42,21 +42,28 @@ def _lattice_factors(ppc: int) -> Tuple[int, int]:
     return a, ppc // a  # (per-x, per-y)
 
 
-def load_species(
+def _load_buckets(
     spec: SpeciesSpec,
     domain: Domain,
     tiling: Tiling,
     capacity: int,
     key: jax.Array,
-    dtype=jnp.float32,
+    trow,
+    tcol,
+    x_abs_offset,
+    dtype,
 ) -> ParticleState:
-    """Build a tile-bucketed ParticleState for one species."""
+    """Shared loader core: quiet-start lattice buckets for the tiles whose
+    (row, col) coordinates are given ([B, 1] each).  The density profile
+    and nothing else sees ABSOLUTE x (window frame + x_abs_offset), so
+    the moving window's injected columns carry exactly the plasma a
+    static run would have loaded there."""
     ppc_x, ppc_y = _lattice_factors(spec.ppc)
     nxt, nyt = tiling.tile_nx, tiling.tile_ny
     per_tile = spec.ppc * nxt * nyt
     if per_tile > capacity:
         raise ValueError(f"capacity {capacity} < ppc*tile cells = {per_tile}")
-    t_total = tiling.num_tiles
+    nb = trow.shape[0]
 
     # Slot layout within a tile: slot = ((cy*nxt + cx)*ppc_y + m)*ppc_x + l
     slots = jnp.arange(per_tile)
@@ -69,27 +76,28 @@ def load_species(
     xi = cx.astype(dtype) + (l.astype(dtype) + 0.5) / ppc_x
     eta = cy.astype(dtype) + (m.astype(dtype) + 0.5) / ppc_y
 
-    # Global positions per tile
-    trow = (jnp.arange(t_total) // tiling.tile_cols).astype(dtype)[:, None]
-    tcol = (jnp.arange(t_total) % tiling.tile_cols).astype(dtype)[:, None]
-    x = tcol * nxt + xi[None, :]  # [T, per_tile]
+    x = tcol * nxt + xi[None, :]  # [B, per_tile], window-frame cells
     y = trow * nyt + eta[None, :]
+    x_abs = x + jnp.asarray(x_abs_offset, dtype)
 
     # Weights from the density profile evaluated at physical coordinates.
     if spec.density is None:
         n = jnp.ones_like(x)
     else:
-        n = jnp.asarray(spec.density(x * domain.dx, y * domain.dy), dtype)
+        n = jnp.asarray(spec.density(x_abs * domain.dx, y * domain.dy), dtype)
     if spec.load_mode == "count" and spec.density is not None:
         # Count-contrast loading: constant weight, thinned live counts.
         # Each cell keeps the first ~ppc * n/n_max of its ppc sub-lattice
-        # particles (deterministic: sub-lattice rank (idx+1/2)/ppc < n/n_max),
-        # so live counts follow the profile while every survivor carries the
-        # same weight — per-tile work now genuinely contrasts (the
-        # load-balance stress axis the weight mode cannot exercise).
+        # particles (deterministic: sub-lattice rank (idx+1/2)/ppc <
+        # n/n_max), so live counts follow the profile while every
+        # survivor carries the same weight — per-tile work genuinely
+        # contrasts (the load-balance stress axis).  The ceiling is the
+        # DECLARED spec.n_max when given (mandatory for moving-window
+        # decks, Deck.validate): a max over the evaluated domain would
+        # make each injected column renormalize against its local max.
         n_max = (jnp.asarray(spec.n_max, dtype) if spec.n_max is not None
                  else jnp.max(n))
-        sub_rank = ((m * ppc_x + l).astype(dtype) + 0.5) / spec.ppc  # [per_tile]
+        sub_rank = ((m * ppc_x + l).astype(dtype) + 0.5) / spec.ppc
         keep = sub_rank[None, :] < (n / jnp.maximum(n_max, 1e-30))
         w = jnp.where(keep, n_max * (domain.dx * domain.dy / spec.ppc), 0.0)
     else:
@@ -98,10 +106,11 @@ def load_species(
     # Momenta: drift + thermal.
     kx, ky, kz = jax.random.split(key, 3)
     ux, uy, uz = spec.thermal_spread()
-    shape = (t_total, per_tile)
+    shape = (nb, per_tile)
 
     def mom(k, uth, drift):
-        base = jax.random.normal(k, shape, dtype) * uth if uth > 0 else jnp.zeros(shape, dtype)
+        base = (jax.random.normal(k, shape, dtype) * uth if uth > 0
+                else jnp.zeros(shape, dtype))
         return base + drift
 
     px = mom(kx, ux, spec.ux)
@@ -112,6 +121,22 @@ def load_species(
         return jnp.pad(a.astype(dtype), ((0, 0), (0, capacity - per_tile)))
 
     return ParticleState(pad(x), pad(y), pad(px), pad(py), pad(pz), pad(w))
+
+
+def load_species(
+    spec: SpeciesSpec,
+    domain: Domain,
+    tiling: Tiling,
+    capacity: int,
+    key: jax.Array,
+    dtype=jnp.float32,
+) -> ParticleState:
+    """Build a tile-bucketed ParticleState for one species."""
+    t = jnp.arange(tiling.num_tiles)
+    trow = (t // tiling.tile_cols).astype(dtype)[:, None]
+    tcol = (t % tiling.tile_cols).astype(dtype)[:, None]
+    return _load_buckets(spec, domain, tiling, capacity, key, trow, tcol,
+                         0.0, dtype)
 
 
 def counter_streaming_pair(
@@ -141,65 +166,13 @@ def inject_column(
     """Fresh plasma for the moving window's leading tile column.
 
     Returns bucket arrays [tile_rows, capacity] for the RIGHTMOST window
-    tile column (window-frame positions), with the density profile and
-    the per-particle RNG evaluated at ABSOLUTE coordinates (x + x0_cells,
-    traced), so a window that has advanced N columns injects exactly the
-    plasma a static run would have loaded there — deterministic across
-    checkpoints/restarts (key is folded with x0_cells by the caller).
-    Same quiet-start lattice, profile->weight ("weight") or thinned-count
-    ("count") semantics as load_species."""
-    ppc_x, ppc_y = _lattice_factors(spec.ppc)
-    nxt, nyt = tiling.tile_nx, tiling.tile_ny
-    per_tile = spec.ppc * nxt * nyt
-    if per_tile > capacity:
-        raise ValueError(f"capacity {capacity} < ppc*tile cells = {per_tile}")
+    tile column (window-frame positions), with the density profile
+    evaluated at ABSOLUTE coordinates (x + x0_cells, traced), so a window
+    that has advanced N columns injects exactly the plasma a static run
+    would have loaded there — deterministic across checkpoints/restarts
+    (key is folded with x0_cells by the caller)."""
     rows = tiling.tile_rows
-
-    slots = jnp.arange(per_tile)
-    l = slots % ppc_x
-    m = (slots // ppc_x) % ppc_y
-    cell = slots // (ppc_x * ppc_y)
-    cx = cell % nxt
-    cy = cell // nxt
-    xi = cx.astype(dtype) + (l.astype(dtype) + 0.5) / ppc_x
-    eta = cy.astype(dtype) + (m.astype(dtype) + 0.5) / ppc_y
-
     trow = jnp.arange(rows).astype(dtype)[:, None]
-    x = (tiling.tile_cols - 1) * nxt + xi[None, :] + jnp.zeros((rows, 1), dtype)
-    y = trow * nyt + eta[None, :]
-    x_abs = x + jnp.asarray(x0_cells, dtype)
-
-    if spec.density is None:
-        n = jnp.ones_like(x)
-    else:
-        n = jnp.asarray(spec.density(x_abs * domain.dx, y * domain.dy), dtype)
-    if spec.load_mode == "count" and spec.density is not None:
-        # The ceiling MUST be the declared global n_max here (validate
-        # enforces it for windowed decks): a per-column max would give
-        # columns injected at different window positions different
-        # survivor weights and counts than the static load.
-        n_max = (jnp.asarray(spec.n_max, dtype) if spec.n_max is not None
-                 else jnp.max(n))
-        sub_rank = ((m * ppc_x + l).astype(dtype) + 0.5) / spec.ppc
-        keep = sub_rank[None, :] < (n / jnp.maximum(n_max, 1e-30))
-        w = jnp.where(keep, n_max * (domain.dx * domain.dy / spec.ppc), 0.0)
-    else:
-        w = n * (domain.dx * domain.dy / spec.ppc)
-
-    kx, ky, kz = jax.random.split(key, 3)
-    ux, uy, uz = spec.thermal_spread()
-    shape = (rows, per_tile)
-
-    def mom(k, uth, drift):
-        base = (jax.random.normal(k, shape, dtype) * uth if uth > 0
-                else jnp.zeros(shape, dtype))
-        return base + drift
-
-    px = mom(kx, ux, spec.ux)
-    py = mom(ky, uy, spec.uy)
-    pz = mom(kz, uz, spec.uz)
-
-    def pad(a):
-        return jnp.pad(a.astype(dtype), ((0, 0), (0, capacity - per_tile)))
-
-    return ParticleState(pad(x), pad(y), pad(px), pad(py), pad(pz), pad(w))
+    tcol = jnp.full((rows, 1), tiling.tile_cols - 1, dtype)
+    return _load_buckets(spec, domain, tiling, capacity, key, trow, tcol,
+                         x0_cells, dtype)
