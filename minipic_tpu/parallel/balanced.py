@@ -481,6 +481,12 @@ class BalancedSimulation:
     def __init__(self, deck: Deck, fields: Optional[FieldState] = None,
                  seed: int = 0, devices=None):
         deck.validate()
+        if deck.moving_window:
+            raise NotImplementedError(
+                "moving_window is single-device (Simulation) for now "
+                "— the sharded window shift (cross-shard bucket roll +"
+                " leading-shard injection) has no implementation here"
+            )
         self.deck = deck
         devices = list(devices if devices is not None else jax.devices())
         self.mesh = Mesh(np.array(devices), (BAXIS,))

@@ -424,6 +424,12 @@ class ShardedSimulation:
 
     def __init__(self, deck: Deck, fields: Optional[FieldState] = None, seed: int = 0, devices=None):
         deck.validate()
+        if deck.moving_window:
+            raise NotImplementedError(
+                "moving_window is single-device (Simulation) for now "
+                "— the sharded window shift (cross-shard bucket roll +"
+                " leading-shard injection) has no implementation here"
+            )
         self.deck = deck
         self.mesh = make_mesh(deck, devices)
         cap = deck.capacity()
