@@ -147,6 +147,7 @@ def _kernel(
     tiles_per_block: int = 1,
     ablate: str = "",  # perf instrumentation (scripts/ablate_advance.py)
     interp_exact: bool = False,
+    qeval16: bool = False,
 ):
     abl = frozenset(ablate.split(",")) if ablate else frozenset()
     nf = 1 if fused_gather else 2
@@ -177,6 +178,7 @@ def _kernel(
             gather_mode=gather_mode, gather_prec=gather_prec,
             deposit_mode=deposit_mode, red_mode=red_mode,
             body_sub=body_sub, abl=abl, interp_exact=interp_exact,
+            qeval16=qeval16,
         )
 
 
@@ -184,7 +186,7 @@ def _process_tile(
     ti, t, k, counts_ref, ox_ref, oy_ref, f_refs, p_refs, o_refs, j_refs,
     *, nxt, nyt, g, order, qm, q, dt, dx, dy, kc,
     fused_gather, wrap, grid, gather_mode, gather_prec, deposit_mode,
-    red_mode, body_sub, abl, interp_exact=False,
+    red_mode, body_sub, abl, interp_exact=False, qeval16=False,
 ):
     x_ref, y_ref, px_ref, py_ref, pz_ref, w_ref = p_refs
     xo_ref, yo_ref, pxo_ref, pyo_ref, pzo_ref = o_refs
@@ -220,7 +222,7 @@ def _process_tile(
                 dy=dy, fused_gather=fused_gather, wrap=wrap, grid=grid,
                 gather_mode=gather_mode, gather_prec=gather_prec,
                 deposit_mode=deposit_mode, red_mode=red_mode, abl=abl,
-                interp_exact=interp_exact,
+                interp_exact=interp_exact, qeval16=qeval16,
             )
             outs.append(o[:5])
             j_acc = o[5:8] if j_acc is None else tuple(
@@ -251,7 +253,7 @@ def _sub_chunk(
     x, y, px, py, pz, qw, wgt, f_refs, ox_s, oy_s, kc,
     *, nxt, nyt, g, order, qm, dt, dx, dy,
     fused_gather, wrap, grid, gather_mode, gather_prec, deposit_mode,
-    red_mode, abl, interp_exact=False,
+    red_mode, abl, interp_exact=False, qeval16=False,
 ):
     """One lane-slice of the fused pipeline; returns
     (x', y', px', py', pz', jx, jy, jz) with J as [nyg/ nxg] window
@@ -277,17 +279,33 @@ def _sub_chunk(
         cx = jax.lax.broadcasted_iota(jnp.int32, (nxg, 1), 0).astype(jnp.float32) - g
         cy = jax.lax.broadcasted_iota(jnp.int32, (nyg, 1), 0).astype(jnp.float32) - g
 
+        if qeval16:
+            # bf16 polynomial evaluation — legal ONLY in the quantized
+            # (int8) pipeline, where every shape value is about to be
+            # rounded to a 1/S quantum anyway: within the support
+            # (|u| <= 1.5) bf16's relative 2^-8 costs <= ~0.8 quanta of
+            # deterministic perturbation (a slightly different but still
+            # partition-folded assignment function, identical on the
+            # force and current sides); outside the support the shape is
+            # 0 regardless of bf16's coarser |u| resolution.  Pays only
+            # if the VPU runs packed bf16 at 2x (scripts/exp_vpu.py).
+            def _sv(u):
+                return _shape_vals(u.astype(jnp.bfloat16), order).astype(
+                    jnp.float32)
+        else:
+            def _sv(u):
+                return _shape_vals(u, order)
         if "evals" in abl:
             sx_i = jnp.zeros((nxg, 1), jnp.float32) + xi  # [nxg, KC] stand-in
             sy_i = jnp.zeros((nyg, 1), jnp.float32) + eta
         else:
-            sx_i = _shape_vals(xi - cx, order)  # [nxg, KC]
-            sy_i = _shape_vals(eta - cy, order)  # [nyg, KC]
+            sx_i = _sv(xi - cx)  # [nxg, KC]
+            sy_i = _sv(eta - cy)  # [nyg, KC]
         if "stagger-evals" in abl:
             sx_h, sy_h = sx_i, sy_i
         else:
-            sx_h = _shape_vals(xi - cx - 0.5, order)
-            sy_h = _shape_vals(eta - cy - 0.5, order)
+            sx_h = _sv(xi - cx - 0.5)
+            sy_h = _sv(eta - cy - 0.5)
 
         # Matched shape quantization (gather side).  qx_i/qy_i are shared
         # with the int8 deposit's s0 endpoints — one qshape evaluation
@@ -529,8 +547,8 @@ def _sub_chunk(
                     (xi1 + (gnx - nxt) * 0.5) * (1.0 / gnx))
                 eta1 = eta1 - gny * jnp.floor(
                     (eta1 + (gny - nyt) * 0.5) * (1.0 / gny))
-            s1x = _shape_vals(xi1 - cx, order)
-            s1y = _shape_vals(eta1 - cy, order)
+            s1x = _sv(xi1 - cx)
+            s1y = _sv(eta1 - cy)
         vz = pzn * gn
         cz = qw * vz * (1.0 / (dx * dy))
 
@@ -808,6 +826,10 @@ def fused_push_deposit(
             gather_precision = "quant"
     if gather_precision == "quant" and not fused_gather:
         gather_precision = "exact"
+    # bf16 shape-polynomial evaluation: quant pipeline only (see the
+    # in-kernel comment); experiment knob pending the VPU probe.
+    qeval16 = (deposit_mode == "int8" and not interpret
+               and _os.environ.get("MINIPIC_QEVAL", "") == "bf16")
 
     # Gather-reduction layout: "ytree" interleaves the field-stack rows as
     # y*8+c so the y-sum's halving tree is sublane-aligned at every level
@@ -840,7 +862,7 @@ def fused_push_deposit(
         fused_gather=fused_gather, wrap=wrap, grid=grid, ablate=ablate,
         deposit_mode=deposit_mode, red_mode=red_mode,
         body_sub=body_sub, tiles_per_block=tp,
-        interp_exact=interpret,
+        interp_exact=interpret, qeval16=qeval16,
         gather_mode=gather_precision,
         # The split (non-fused) path has no word-stacked layout; Mosaic
         # supports only DEFAULT/HIGHEST there.

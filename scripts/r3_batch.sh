@@ -45,7 +45,12 @@ run "tile sweep 16/8" env BENCH_TILE=16 BENCH_GUARD=8 BENCH_PARTICLES=2e7 python
 # 4b. Stage ablation under the int8 deposit (new budget table).
 run "ablate int8" env MINIPIC_DEPOSIT_MODE=int8 python scripts/ablate_advance.py
 
-# 5. VPU microbenchmark: bf16 vs f32 elementwise throughput.
+# 5. VPU microbenchmark: bf16 vs f32 elementwise throughput, then the
+#    in-kernel bf16-eval knob (pays only if the probe shows ~2x).
 run "vpu bf16 probe" python scripts/exp_vpu.py
+run "kernel timing int8 + bf16 evals" env MINIPIC_QEVAL=bf16 python -c "
+import sys; sys.path.insert(0, '/root/repo')
+import scripts.exp_int8c as m; m.bench_timing()"
+run "energy int8 + bf16 evals" env MINIPIC_DEPOSIT_MODE=int8 MINIPIC_QEVAL=bf16 python scripts/energy_probe.py --order 2 --uth 0.05 --guard 4
 
 echo "=== r3 batch done $(date -u +%H:%M:%S)" >> $LOG
