@@ -213,9 +213,17 @@ def main(argv=None):
 
     species_names = [s.name for s in deck.species]
 
+    window_log = {}
+
     def save(step):
         if args.no_save:
             return
+        if getattr(sim.state, "window_x0", None) is not None:
+            # Lab-frame placement of window-frame snapshots: snapshot
+            # files keep the reference schema (window coordinates);
+            # the offset ledger lets post-processing reconstruct
+            # lab x = window x + offset*dx.
+            window_log[int(step)] = int(sim.state.window_x0)
         if writer is not None:
             writer.submit(sim.state.fields, step)
         else:
@@ -291,6 +299,12 @@ def main(argv=None):
         if errs:
             print(f"WARNING: {errs} snapshot files failed to write", flush=True)
     hist.save(os.path.join(args.out, "history.json"))
+    if window_log:
+        import json as _json
+
+        with open(os.path.join(args.out, "window_offsets.json"), "w") as f:
+            _json.dump({"cells_per_unit": 1.0 / deck.dx,
+                        "offsets_cells": window_log}, f, indent=1)
     save_checkpoint(os.path.join(args.out, "checkpoint.npz"), sim.state)
     print(f"done: energy drift {hist.energy_drift():.3e}; outputs in {args.out}", flush=True)
     return 0
