@@ -92,7 +92,7 @@ def build_sharded_step(deck: Deck, mesh: Mesh):
     pspec = ParticleState(*(particle_spec(),) * 6)
     n_sp = len(deck.species)
 
-    def local_step(f: FieldState, species, step, drift):
+    def local_step(f: FieldState, species, step, drift, window_x0):
         # Shard coordinates -> global offsets (traced scalars).
         myrow = lax.axis_index("ry")
         mycol = lax.axis_index("rx")
@@ -189,6 +189,19 @@ def build_sharded_step(deck: Deck, mesh: Mesh):
         # --- 5. wrap, route across shards, re-bin ---
         pending_total = jnp.zeros((), jnp.int32)
 
+        # Moving window: the shift rolls buckets (including a cross-shard
+        # handoff), so buckets must be FRESH — fold the shift predicate
+        # into the re-bin predicate and force it (no deferral into a
+        # roll; see simulation.build_step).  window_x0 is replicated, so
+        # the predicate is mesh-agreed.
+        if deck.moving_window:
+            _period = nxt * dx
+            _done = (window_x0 // nxt).astype(jnp.float32)
+            _t1 = (step.astype(jnp.float32) + 1.0) * jnp.float32(dt)
+            shift_now = _t1 >= (_done + 1.0) * _period
+        else:
+            shift_now = None
+
         if trigger_drift:
             # Mesh-agreed measured drift so every shard takes the same
             # re-bin branch (the branches contain collectives).
@@ -200,6 +213,9 @@ def build_sharded_step(deck: Deck, mesh: Mesh):
             drift_now = drift + disp
             do_rebin_pred = drift_now > deck.drift_threshold()
             force_flag = drift_now > deck.force_threshold()
+            if shift_now is not None:
+                do_rebin_pred = do_rebin_pred | shift_now
+                force_flag = force_flag | shift_now
         else:
             drift_now = drift
             sched = (
@@ -216,6 +232,10 @@ def build_sharded_step(deck: Deck, mesh: Mesh):
             else:
                 do_rebin_pred = sched
                 force_flag = True  # no deferral budget in the guard
+            if shift_now is not None:
+                if do_rebin_pred is not None:
+                    do_rebin_pred = do_rebin_pred | shift_now
+                force_flag = jnp.logical_or(force_flag, shift_now)
 
         overflow = jnp.zeros((), jnp.int32)
         binned = []
@@ -348,6 +368,66 @@ def build_sharded_step(deck: Deck, mesh: Mesh):
                 did, (pending_total > 0).astype(jnp.float32), drift_now
             )
 
+        window_new = window_x0
+        if deck.moving_window:
+            from ..particles.species import inject_column
+
+            perm_left = [(i, i - 1) for i in range(1, cols)]
+
+            def _shift(args):
+                f_, sps, w0 = args
+                w0n = w0 + nxt
+                # Fields: local block shifts left one tile column; the
+                # trailing strip arrives from the RIGHT neighbor's
+                # leading strip (ppermute leaves the rightmost shard's
+                # strip zero — vacuum enters).
+                st = jnp.stack(tuple(f_))  # [6, ny_l, nx_l]
+                recv = lax.ppermute(st[:, :, :nxt], "rx", perm_left)
+                f2 = FieldState(*jnp.concatenate([st[:, :, nxt:], recv],
+                                                 axis=2))
+                out = []
+                for i, (spec, p) in enumerate(zip(deck.species, sps)):
+                    # Buckets roll one tile column left; each shard hands
+                    # its LOCAL column 0 to the left neighbor (the
+                    # leftmost shard's column outflows with the window),
+                    # and the rightmost shard's incoming column is fresh
+                    # plasma (inject_column, keyed per GLOBAL tile row so
+                    # every mesh decomposition injects bit-identically).
+                    col0 = [
+                        getattr(p, nm).reshape(ltr, ltc, -1)[:, 0, :]
+                        for nm in ParticleState._fields
+                    ]
+                    recv_cols = [lax.ppermute(c, "rx", perm_left)
+                                 for c in col0]
+                    key = jax.random.fold_in(
+                        jax.random.fold_in(jax.random.PRNGKey(0x77), i),
+                        w0n)
+                    inj = inject_column(spec, deck.domain, tiling,
+                                        p.capacity, key, w0n, deck.dtype,
+                                        trow0=trow0, rows=ltr)
+                    is_last = mycol == cols - 1
+                    chans = []
+                    for ci, nm in enumerate(ParticleState._fields):
+                        a = getattr(p, nm).reshape(ltr, ltc, -1)
+                        a = jnp.roll(a, -1, axis=1)
+                        rc = recv_cols[ci]
+                        if nm == "x":
+                            a = a - nxt
+                            rc = rc - nxt
+                        last = jnp.where(is_last, getattr(inj, nm), rc)
+                        a = a.at[:, -1, :].set(last)
+                        chans.append(a.reshape(t_local, p.capacity))
+                    out.append(ParticleState(*chans))
+                return f2, tuple(out), w0n
+
+            def _keep(args):
+                return args
+
+            fnew, binned, window_new = lax.cond(
+                shift_now, _shift, _keep,
+                (fnew, tuple(binned), window_x0))
+            binned = list(binned)
+
         live = jnp.zeros((), jnp.int32)
         for p in binned:
             live = live + jnp.sum((p.w > 0).astype(jnp.int32))
@@ -359,12 +439,12 @@ def build_sharded_step(deck: Deck, mesh: Mesh):
             # one element per shard: the cross-chip work-skew observable
             shard_live=live.reshape(1),
         )
-        return fnew, tuple(binned), diag, drift_now
+        return fnew, tuple(binned), diag, drift_now, window_new
 
-    in_specs = (fspec, (pspec,) * n_sp, P(), P())
+    in_specs = (fspec, (pspec,) * n_sp, P(), P(), P())
     out_specs = (
         fspec, (pspec,) * n_sp,
-        StepDiag(P(), P(), P(), P(), P(("ry", "rx"))), P(),
+        StepDiag(P(), P(), P(), P(), P(("ry", "rx"))), P(), P(),
     )
 
     # check_vma only off under interpret mode: the varying-axis *checker*
@@ -385,11 +465,16 @@ def build_sharded_step(deck: Deck, mesh: Mesh):
             )
         if drift is None:
             drift = jnp.zeros((), jnp.float32)
-        fnew, species, diag, drift_now = smapped(
-            state.fields, state.species, state.step, drift
+        w0 = state.window_x0
+        if w0 is None:
+            w0 = jnp.zeros((), jnp.int32)
+        fnew, species, diag, drift_now, w0n = smapped(
+            state.fields, state.species, state.step, drift, w0
         )
         return SimState(
-            fields=fnew, species=species, step=state.step + 1, drift=drift_now
+            fields=fnew, species=species, step=state.step + 1,
+            drift=drift_now,
+            window_x0=(w0n if deck.moving_window else state.window_x0),
         ), diag
 
     return step
@@ -424,12 +509,6 @@ class ShardedSimulation:
 
     def __init__(self, deck: Deck, fields: Optional[FieldState] = None, seed: int = 0, devices=None):
         deck.validate()
-        if deck.moving_window:
-            raise NotImplementedError(
-                "moving_window is single-device (Simulation) for now "
-                "— the sharded window shift (cross-shard bucket roll +"
-                " leading-shard injection) has no implementation here"
-            )
         self.deck = deck
         self.mesh = make_mesh(deck, devices)
         cap = deck.capacity()
@@ -454,6 +533,8 @@ class ShardedSimulation:
         self.state = SimState(
             fields=fields, species=tuple(species), step=jnp.zeros((), jnp.int32),
             drift=jnp.zeros((), jnp.float32),
+            window_x0=(jnp.zeros((), jnp.int32) if deck.moving_window
+                       else None),
         )
         self._step = jax.jit(build_sharded_step(deck, self.mesh))
         self._capmgrs = None  # per-species CapacityManagers, lazily built

@@ -52,6 +52,7 @@ def _load_buckets(
     tcol,
     x_abs_offset,
     dtype,
+    row_keys=None,
 ) -> ParticleState:
     """Shared loader core: quiet-start lattice buckets for the tiles whose
     (row, col) coordinates are given ([B, 1] each).  The density profile
@@ -109,9 +110,19 @@ def _load_buckets(
     shape = (nb, per_tile)
 
     def mom(k, uth, drift):
-        base = (jax.random.normal(k, shape, dtype) * uth if uth > 0
-                else jnp.zeros(shape, dtype))
-        return base + drift
+        if uth <= 0:
+            return jnp.zeros(shape, dtype) + drift
+        if row_keys is not None:
+            # Per-GLOBAL-tile-row keyed draws: any decomposition of the
+            # same rows (single device, or any mesh's row blocks) draws
+            # bit-identical noise — the moving window's sharded and
+            # single-device injections then agree exactly.
+            def row(kr):
+                return jax.random.normal(kr, (per_tile,), dtype) * uth
+
+            keys = jax.vmap(lambda r: jax.random.fold_in(k, r))(row_keys)
+            return jax.vmap(row)(keys) + drift
+        return jax.random.normal(k, shape, dtype) * uth + drift
 
     px = mom(kx, ux, spec.ux)
     py = mom(ky, uy, spec.uy)
@@ -162,6 +173,8 @@ def inject_column(
     key: jax.Array,
     x0_cells,
     dtype=jnp.float32,
+    trow0=0,
+    rows=None,
 ):
     """Fresh plasma for the moving window's leading tile column.
 
@@ -170,9 +183,13 @@ def inject_column(
     evaluated at ABSOLUTE coordinates (x + x0_cells, traced), so a window
     that has advanced N columns injects exactly the plasma a static run
     would have loaded there — deterministic across checkpoints/restarts
-    (key is folded with x0_cells by the caller)."""
-    rows = tiling.tile_rows
-    trow = jnp.arange(rows).astype(dtype)[:, None]
+    (key is folded with x0_cells by the caller).  trow0/rows select a
+    GLOBAL tile-row block for sharded callers; thermal noise is keyed per
+    global row, so every decomposition injects identical plasma."""
+    if rows is None:
+        rows = tiling.tile_rows
+    row_ids = trow0 + jnp.arange(rows)
+    trow = row_ids.astype(dtype)[:, None]
     tcol = jnp.full((rows, 1), tiling.tile_cols - 1, dtype)
     return _load_buckets(spec, domain, tiling, capacity, key, trow, tcol,
-                         x0_cells, dtype)
+                         x0_cells, dtype, row_keys=row_ids)

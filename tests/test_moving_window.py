@@ -131,3 +131,45 @@ def test_moving_window_requires_absorbing():
     with pytest.raises(ValueError):
         Deck(box_x=6.4, box_y=6.4, nx=64, ny=64, tile_nx=8, tile_ny=8,
              moving_window=True, species=()).validate()
+
+
+def test_sharded_window_matches_single_device():
+    """Sharded moving window == single-device moving window, exactly
+    (f64, XLA path): the cross-shard bucket handoff, the ppermute field
+    strip, and the per-global-tile-row-keyed injection RNG must together
+    reproduce the one-chip run on any mesh."""
+    import jax
+
+    from minipic_tpu.parallel.step import (
+        ShardedSimulation, shard_major_permutation)
+
+    deck = _pulse_deck(
+        species=(SpeciesSpec("ele", charge=-1.0, mass=1.0, ppc=4,
+                             uth=0.01),
+                 SpeciesSpec("ion", charge=+1.0, mass=1836.0, ppc=4,
+                             uth=0.0)),
+        precision="f64",
+        mesh_shape=(2, 4),
+    )
+    ref = Simulation(deck, fields=None, seed=7)
+    sh = ShardedSimulation(deck, seed=7, devices=jax.devices()[:8])
+    n = 70  # >= 2 shifts at dt/dx ~ 0.354, tile_nx = 8
+    ref.step(n)
+    sh.step(n)
+    assert int(ref.state.window_x0) == int(sh.state.window_x0) > 8
+    for a, b in zip(ref.state.fields, sh.state.fields):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-10, atol=1e-12)
+    perm = shard_major_permutation(deck, sh.mesh)
+    for pref, psh in zip(ref.state.species, sh.state.species):
+        wa = np.asarray(pref.w) > 0
+        wb = np.asarray(psh.w) > 0
+        for name in ("x", "y", "px", "py", "pz", "w"):
+            a = np.sort(np.where(wa, np.asarray(getattr(pref, name)), 0.0),
+                        axis=1)
+            b = np.where(wb, np.asarray(getattr(psh, name)), 0.0)
+            b_gid = np.empty_like(b)
+            b_gid[perm] = b
+            b_gid = np.sort(b_gid, axis=1)
+            np.testing.assert_allclose(b_gid, a, rtol=1e-10, atol=1e-12,
+                                       err_msg=name)
