@@ -372,60 +372,70 @@ def build_sharded_step(deck: Deck, mesh: Mesh):
         if deck.moving_window:
             from ..particles.species import inject_column
 
-            perm_left = [(i, i - 1) for i in range(1, cols)]
+            # CYCLIC permutation (0 <- 1 <- ... <- cols-1 <- 0), like
+            # every other collective in this codebase: the XLA CPU
+            # runtime aborted intermittently on partial (non-cyclic)
+            # permutes once the process had run other meshes.  The
+            # wrapped-around payload (shard 0's strip arriving at the
+            # rightmost shard) is discarded below — fields mask it to
+            # the incoming vacuum, buckets overwrite it with injection.
+            perm_left = [(i, (i - 1) % cols) for i in range(cols)]
+            # Collectives run UNCONDITIONALLY (ppermute inside a lax.cond
+            # branch also aborted the CPU runtime); the cond below only
+            # SELECTS between the shifted and unshifted states.
+            #
+            # Fields: local block shifts left one tile column; the
+            # trailing strip arrives from the RIGHT neighbor's leading
+            # strip (ppermute leaves the rightmost shard's strip zero —
+            # vacuum enters).
+            st = jnp.stack(tuple(fnew))  # [6, ny_l, nx_l]
+            recv_strip = lax.ppermute(st[:, :, :nxt], "rx", perm_left)
+            is_last_col = mycol == cols - 1
+            recv_strip = jnp.where(is_last_col, 0.0, recv_strip)
+            f_shift = FieldState(
+                *jnp.concatenate([st[:, :, nxt:], recv_strip], axis=2))
+            w0n = window_x0 + nxt
+            shifted_species = []
+            for i, (spec, p) in enumerate(zip(deck.species, binned)):
+                # Buckets roll one tile column left; each shard hands its
+                # LOCAL column 0 to the left neighbor (the leftmost
+                # shard's column outflows with the window); the rightmost
+                # shard's incoming column is fresh plasma (inject_column,
+                # keyed per GLOBAL tile row so every mesh decomposition
+                # injects bit-identically).
+                col0 = [
+                    getattr(p, nm).reshape(ltr, ltc, -1)[:, 0, :]
+                    for nm in ParticleState._fields
+                ]
+                recv_cols = [lax.ppermute(c, "rx", perm_left)
+                             for c in col0]
+                key = jax.random.fold_in(
+                    jax.random.fold_in(jax.random.PRNGKey(0x77), i), w0n)
+                inj = inject_column(spec, deck.domain, tiling,
+                                    p.capacity, key, w0n, deck.dtype,
+                                    trow0=trow0, rows=ltr)
+                is_last = mycol == cols - 1
+                chans = []
+                for ci, nm in enumerate(ParticleState._fields):
+                    a = getattr(p, nm).reshape(ltr, ltc, -1)
+                    a = jnp.roll(a, -1, axis=1)
+                    rc = recv_cols[ci]
+                    if nm == "x":
+                        a = a - nxt
+                        rc = rc - nxt
+                    last = jnp.where(is_last, getattr(inj, nm), rc)
+                    a = a.at[:, -1, :].set(last)
+                    chans.append(a.reshape(t_local, p.capacity))
+                shifted_species.append(ParticleState(*chans))
 
-            def _shift(args):
-                f_, sps, w0 = args
-                w0n = w0 + nxt
-                # Fields: local block shifts left one tile column; the
-                # trailing strip arrives from the RIGHT neighbor's
-                # leading strip (ppermute leaves the rightmost shard's
-                # strip zero — vacuum enters).
-                st = jnp.stack(tuple(f_))  # [6, ny_l, nx_l]
-                recv = lax.ppermute(st[:, :, :nxt], "rx", perm_left)
-                f2 = FieldState(*jnp.concatenate([st[:, :, nxt:], recv],
-                                                 axis=2))
-                out = []
-                for i, (spec, p) in enumerate(zip(deck.species, sps)):
-                    # Buckets roll one tile column left; each shard hands
-                    # its LOCAL column 0 to the left neighbor (the
-                    # leftmost shard's column outflows with the window),
-                    # and the rightmost shard's incoming column is fresh
-                    # plasma (inject_column, keyed per GLOBAL tile row so
-                    # every mesh decomposition injects bit-identically).
-                    col0 = [
-                        getattr(p, nm).reshape(ltr, ltc, -1)[:, 0, :]
-                        for nm in ParticleState._fields
-                    ]
-                    recv_cols = [lax.ppermute(c, "rx", perm_left)
-                                 for c in col0]
-                    key = jax.random.fold_in(
-                        jax.random.fold_in(jax.random.PRNGKey(0x77), i),
-                        w0n)
-                    inj = inject_column(spec, deck.domain, tiling,
-                                        p.capacity, key, w0n, deck.dtype,
-                                        trow0=trow0, rows=ltr)
-                    is_last = mycol == cols - 1
-                    chans = []
-                    for ci, nm in enumerate(ParticleState._fields):
-                        a = getattr(p, nm).reshape(ltr, ltc, -1)
-                        a = jnp.roll(a, -1, axis=1)
-                        rc = recv_cols[ci]
-                        if nm == "x":
-                            a = a - nxt
-                            rc = rc - nxt
-                        last = jnp.where(is_last, getattr(inj, nm), rc)
-                        a = a.at[:, -1, :].set(last)
-                        chans.append(a.reshape(t_local, p.capacity))
-                    out.append(ParticleState(*chans))
-                return f2, tuple(out), w0n
+            def _shift(_):
+                return f_shift, tuple(shifted_species), w0n
 
-            def _keep(args):
-                return args
+            def _keep(_):
+                return fnew, tuple(binned), window_x0
 
-            fnew, binned, window_new = lax.cond(
-                shift_now, _shift, _keep,
-                (fnew, tuple(binned), window_x0))
+            fnew, binned, window_new = lax.cond(shift_now, _shift, _keep,
+                                                None)
             binned = list(binned)
 
         live = jnp.zeros((), jnp.int32)
