@@ -252,8 +252,11 @@ def laser_wakefield_window(nx: int = 512, ny: int = 256, ppc: int = 4) -> Case:
     box_x, box_y = 51.2, 25.6
 
     def profile(x, y):
-        # upramp between x = 30 and 50 (absolute/lab coords), then flat.
-        return 0.05 * 0.5 * (1.0 + jnp.tanh((x - 40.0) / 4.0))
+        # upramp between x = 30 and 50 (absolute/lab coords), then a flat
+        # n = 0.3 plateau: lambda_p = 2 pi/sqrt(0.3) ~ 11.5 c/wp, so the
+        # length-4 pulse sits near half-plasma-wavelength resonance and
+        # drives a visible wake (docs/figs/wakefield_window.png).
+        return 0.3 * 0.5 * (1.0 + jnp.tanh((x - 40.0) / 4.0))
 
     deck = Deck(
         box_x=box_x, box_y=box_y, nx=nx, ny=ny, tile_nx=8, tile_ny=8,

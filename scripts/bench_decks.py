@@ -91,7 +91,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--decks", default="two_stream,weibel,landau,laser_plasma,"
-                    "load_balance_stress,reference_pulse")
+                    "load_balance_stress,reference_pulse,"
+                    "laser_wakefield_window")
     ap.add_argument("--json-out", default="docs/BENCH_DECKS.json")
     args = ap.parse_args()
 
