@@ -41,7 +41,9 @@ from ..fields.tiles import extract_field_tiles, fold_tiles
 from ..fields.yee import update_b_half_block, update_e_full_block
 from ..particles.binning import rebin_flat, wrap_positions
 from ..particles.species import load_species
-from ..simulation import StepDiag, advance_species_tiles, resolve_backend
+from ..simulation import (StepDiag, advance_species_tiles,
+                          resolve_backend, window_injection_key,
+                          window_shift_now)
 from .exchange import exchange_particles
 from .halo import exchange_halo, fold_halo
 from .mesh import field_spec, local_tile_grid, make_mesh, particle_spec, shard_shape
@@ -195,10 +197,7 @@ def build_sharded_step(deck: Deck, mesh: Mesh):
         # roll; see simulation.build_step).  window_x0 is replicated, so
         # the predicate is mesh-agreed.
         if deck.moving_window:
-            _period = nxt * dx
-            _done = (window_x0 // nxt).astype(jnp.float32)
-            _t1 = (step.astype(jnp.float32) + 1.0) * jnp.float32(dt)
-            shift_now = _t1 >= (_done + 1.0) * _period
+            shift_now = window_shift_now(step, window_x0, dt, nxt, dx)
         else:
             shift_now = None
 
@@ -368,6 +367,12 @@ def build_sharded_step(deck: Deck, mesh: Mesh):
                 did, (pending_total > 0).astype(jnp.float32), drift_now
             )
 
+        # Diagnostics reflect the PRE-shift state, matching the
+        # single-device driver's ordering (the window block runs after).
+        live = jnp.zeros((), jnp.int32)
+        for p in binned:
+            live = live + jnp.sum((p.w > 0).astype(jnp.int32))
+
         window_new = window_x0
         if deck.moving_window:
             from ..particles.species import inject_column
@@ -376,71 +381,69 @@ def build_sharded_step(deck: Deck, mesh: Mesh):
             # every other collective in this codebase: the XLA CPU
             # runtime aborted intermittently on partial (non-cyclic)
             # permutes once the process had run other meshes.  The
-            # wrapped-around payload (shard 0's strip arriving at the
-            # rightmost shard) is discarded below — fields mask it to
-            # the incoming vacuum, buckets overwrite it with injection.
+            # wrapped-around payload (shard 0's data arriving at the
+            # rightmost shard) is discarded — fields mask it to the
+            # incoming vacuum, buckets overwrite it with injection.
+            # The COLLECTIVES run unconditionally every step (ppermute
+            # inside a lax.cond branch also aborted the CPU runtime),
+            # but they move only a [6, ny_l, nxt] field strip and one
+            # bucket column per species; the expensive full-array roll/
+            # inject/update work happens INSIDE the cond, so non-shift
+            # steps pay only the small permutes plus the select.
             perm_left = [(i, (i - 1) % cols) for i in range(cols)]
-            # Collectives run UNCONDITIONALLY (ppermute inside a lax.cond
-            # branch also aborted the CPU runtime); the cond below only
-            # SELECTS between the shifted and unshifted states.
-            #
-            # Fields: local block shifts left one tile column; the
-            # trailing strip arrives from the RIGHT neighbor's leading
-            # strip (ppermute leaves the rightmost shard's strip zero —
-            # vacuum enters).
+            is_last_col = mycol == cols - 1
             st = jnp.stack(tuple(fnew))  # [6, ny_l, nx_l]
             recv_strip = lax.ppermute(st[:, :, :nxt], "rx", perm_left)
-            is_last_col = mycol == cols - 1
             recv_strip = jnp.where(is_last_col, 0.0, recv_strip)
-            f_shift = FieldState(
-                *jnp.concatenate([st[:, :, nxt:], recv_strip], axis=2))
-            w0n = window_x0 + nxt
-            shifted_species = []
-            for i, (spec, p) in enumerate(zip(deck.species, binned)):
-                # Buckets roll one tile column left; each shard hands its
-                # LOCAL column 0 to the left neighbor (the leftmost
-                # shard's column outflows with the window); the rightmost
-                # shard's incoming column is fresh plasma (inject_column,
-                # keyed per GLOBAL tile row so every mesh decomposition
-                # injects bit-identically).
+            sp_cols = []
+            for p in binned:
                 col0 = [
                     getattr(p, nm).reshape(ltr, ltc, -1)[:, 0, :]
                     for nm in ParticleState._fields
                 ]
-                recv_cols = [lax.ppermute(c, "rx", perm_left)
-                             for c in col0]
-                key = jax.random.fold_in(
-                    jax.random.fold_in(jax.random.PRNGKey(0x77), i), w0n)
-                inj = inject_column(spec, deck.domain, tiling,
-                                    p.capacity, key, w0n, deck.dtype,
-                                    trow0=trow0, rows=ltr)
-                is_last = mycol == cols - 1
-                chans = []
-                for ci, nm in enumerate(ParticleState._fields):
-                    a = getattr(p, nm).reshape(ltr, ltc, -1)
-                    a = jnp.roll(a, -1, axis=1)
-                    rc = recv_cols[ci]
-                    if nm == "x":
-                        a = a - nxt
-                        rc = rc - nxt
-                    last = jnp.where(is_last, getattr(inj, nm), rc)
-                    a = a.at[:, -1, :].set(last)
-                    chans.append(a.reshape(t_local, p.capacity))
-                shifted_species.append(ParticleState(*chans))
+                sp_cols.append([lax.ppermute(c, "rx", perm_left)
+                                for c in col0])
+            w0n = window_x0 + nxt
 
-            def _shift(_):
-                return f_shift, tuple(shifted_species), w0n
+            def _shift(args):
+                f_, sps = args
+                stk = jnp.stack(tuple(f_))
+                f2 = FieldState(
+                    *jnp.concatenate([stk[:, :, nxt:], recv_strip], axis=2))
+                out = []
+                for i, (spec, p) in enumerate(zip(deck.species, sps)):
+                    # Buckets roll one tile column left; each shard hands
+                    # its LOCAL column 0 to the left neighbor (the
+                    # leftmost shard's column outflows with the window);
+                    # the rightmost shard's incoming column is fresh
+                    # plasma (inject_column, keyed per GLOBAL tile row so
+                    # every mesh decomposition injects bit-identically).
+                    key = window_injection_key(i, w0n)
+                    inj = inject_column(spec, deck.domain, tiling,
+                                        p.capacity, key, w0n, deck.dtype,
+                                        trow0=trow0, rows=ltr)
+                    chans = []
+                    for ci, nm in enumerate(ParticleState._fields):
+                        a = getattr(p, nm).reshape(ltr, ltc, -1)
+                        a = jnp.roll(a, -1, axis=1)
+                        rc = sp_cols[i][ci]
+                        if nm == "x":
+                            a = a - nxt
+                            rc = rc - nxt
+                        last = jnp.where(is_last_col, getattr(inj, nm), rc)
+                        a = a.at[:, -1, :].set(last)
+                        chans.append(a.reshape(t_local, p.capacity))
+                    out.append(ParticleState(*chans))
+                return f2, tuple(out), w0n
 
-            def _keep(_):
-                return fnew, tuple(binned), window_x0
+            def _keep(args):
+                f_, sps = args
+                return f_, sps, window_x0
 
-            fnew, binned, window_new = lax.cond(shift_now, _shift, _keep,
-                                                None)
+            fnew, binned, window_new = lax.cond(
+                shift_now, _shift, _keep, (fnew, tuple(binned)))
             binned = list(binned)
 
-        live = jnp.zeros((), jnp.int32)
-        for p in binned:
-            live = live + jnp.sum((p.w > 0).astype(jnp.int32))
         diag = StepDiag(
             field_energy=fe,
             kinetic_energy=jnp.stack(kes) if kes else jnp.zeros((0,), deck.dtype),
@@ -477,6 +480,10 @@ def build_sharded_step(deck: Deck, mesh: Mesh):
             drift = jnp.zeros((), jnp.float32)
         w0 = state.window_x0
         if w0 is None:
+            if deck.moving_window:
+                raise ValueError(
+                    "deck.moving_window but SimState.window_x0 is unset — "
+                    "initialize it to 0 (ShardedSimulation does)")
             w0 = jnp.zeros((), jnp.int32)
         fnew, species, diag, drift_now, w0n = smapped(
             state.fields, state.species, state.step, drift, w0

@@ -84,6 +84,31 @@ def _tile_origins(tiling, dtype):
     return ox, oy
 
 
+def window_shift_now(step, window_x0, dt: float, tile_nx: int, dx: float):
+    """Moving-window shift predicate, shared by BOTH drivers (sharded ==
+    single-device parity is bit-level, so the f32 arithmetic must be one
+    code path).  Shift when the light front has crossed the NEXT
+    tile-column boundary beyond the shifts already taken.  Anchoring on
+    window_x0 (exact int32) instead of floor(step*dt) - floor((step-1)*dt)
+    makes the schedule self-correcting: an f32 rounding hiccup delays a
+    shift by a step and the next step catches up, and nothing freezes at
+    step ~2^24 where f32(step)+1 == f32(step) would kill an
+    increment-based predicate for good."""
+    period = tile_nx * dx
+    done = (window_x0 // tile_nx).astype(jnp.float32)
+    t1 = (step.astype(jnp.float32) + 1.0) * jnp.float32(dt)
+    return t1 >= (done + 1.0) * period
+
+
+def window_injection_key(species_index: int, w0n):
+    """Injection RNG key, shared by both drivers (and folded per GLOBAL
+    tile row inside the loader): deterministic in (species, absolute
+    window position) only, so restarts and any mesh decomposition inject
+    identical plasma."""
+    return jax.random.fold_in(
+        jax.random.fold_in(jax.random.PRNGKey(0x77), species_index), w0n)
+
+
 def advance_species_tiles(
     p: ParticleState,
     ftiles: FieldState,
@@ -348,19 +373,12 @@ def build_step(deck: Deck):
         # predicate below can fold it in; the shift itself happens after
         # re-binning).
         if deck.moving_window:
-            # Shift when the light front has crossed the NEXT tile-column
-            # boundary beyond the shifts already taken.  Anchoring on
-            # window_x0 (exact int32) instead of floor(step*dt)-floor(
-            # (step-1)*dt) makes the schedule self-correcting: an f32
-            # rounding hiccup delays a shift by a step and the next step
-            # catches up, and nothing freezes at step ~2^24 where
-            # f32(step)+1 == f32(step) would kill an increment-based
-            # predicate for good.
-            _period = tiling.tile_nx * dx
-            _shifts_done = (state.window_x0 // tiling.tile_nx).astype(
-                jnp.float32)
-            _t1 = (state.step.astype(jnp.float32) + 1.0) * jnp.float32(dt)
-            shift_now = _t1 >= (_shifts_done + 1.0) * _period
+            if state.window_x0 is None:
+                raise ValueError(
+                    "deck.moving_window but SimState.window_x0 is unset — "
+                    "initialize it to 0 (Simulation does)")
+            shift_now = window_shift_now(state.step, state.window_x0, dt,
+                                         tiling.tile_nx, dx)
         else:
             shift_now = None
 
@@ -490,8 +508,7 @@ def build_step(deck: Deck):
                     for c in f_))
                 out = []
                 for i, (spec, p) in enumerate(zip(deck.species, sps)):
-                    key = jax.random.fold_in(
-                        jax.random.fold_in(jax.random.PRNGKey(0x77), i), w0n)
+                    key = window_injection_key(i, w0n)
                     inj = inject_column(spec, deck.domain, tiling,
                                         p.capacity, key, w0n, deck.dtype)
                     chans = []
@@ -509,10 +526,6 @@ def build_step(deck: Deck):
             def _keep(args):
                 return args
 
-            if window_x0 is None:
-                raise ValueError(
-                    "deck.moving_window but SimState.window_x0 is unset — "
-                    "initialize it to 0 (Simulation does)")
             f, binned, window_x0 = jax.lax.cond(
                 shift_now, _shift, _keep, (f, tuple(binned), window_x0))
             binned = list(binned)

