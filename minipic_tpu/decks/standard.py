@@ -278,8 +278,8 @@ def laser_wakefield_window(nx: int = 512, ny: int = 256, ppc: int = 4) -> Case:
             # grid: comfortably resolved, so the pulse survives hundreds
             # of c/wp of windowed propagation (k0 = 10 dispersed within
             # one box length — FDTD at ~6 cells/wavelength).
-            d.domain, a0=2.0, k0=5.0, x_center=10.0, length=4.0,
-            waist=6.0, dtype=d.dtype
+            d.domain, a0=2.0, k0=5.0, x_center=40.0, length=4.0,
+            waist=10.0, dtype=d.dtype
         ),
         notes="moving window follows the pulse at c; plasma streams through",
     )
