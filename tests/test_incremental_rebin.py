@@ -207,3 +207,34 @@ def test_split_buckets_defers_all_or_nothing():
     assert int(pending.sum()) > 0
     # nothing lost: deferred tiles keep everything (compacted in place)
     assert int(p1.alive_count()) + int((movers.w > 0).sum()) == n0
+
+
+def test_int8_byte_permute_is_exact_selection():
+    """_permute_dot's int8 byte-transport mode (MINIPIC_REBIN_WSPLIT=int8,
+    hardware-only inside the kernels) must equal pure column selection
+    BIT-EXACTLY — including NaN/inf/denormal payloads, which the float
+    dot corrupts via 0*inf.  Pure-function test so the byte plane
+    extract/reassemble logic is covered on CPU even though the in-kernel
+    path only runs on the chip."""
+    import numpy as np
+
+    from minipic_tpu.ops.pallas.rebin_kernels import _permute_dot
+
+    rng = np.random.default_rng(1)
+    kc = 256
+    weird = np.array(
+        [[-0.0, np.inf, -np.inf, np.nan, 1e-40, -1e-40, 3.14, -2.5] * 32] * 8,
+        np.float32)
+    payload = jnp.asarray(
+        np.concatenate([rng.normal(0, 100, (4, kc)).astype(np.float32),
+                        weird[:4]], axis=0))
+    sel = rng.choice(kc, 100, replace=False)
+    pm = np.zeros((kc, kc), np.float32)
+    for out_i, src in enumerate(sel):
+        pm[out_i, src] = 1
+    out = _permute_dot(payload, jnp.asarray(pm), "int8")
+    ref = np.zeros((8, kc), np.float32)
+    ref[:, :100] = np.asarray(payload)[:, sel]
+    np.testing.assert_array_equal(
+        np.asarray(jax.lax.bitcast_convert_type(out, jnp.int32)),
+        ref.view(np.int32))
