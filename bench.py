@@ -9,11 +9,44 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 import json
 import math
 import os
+import subprocess
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
+
+_PROBE_SRC = (
+    "import jax, jax.numpy as jnp;"
+    "x = jnp.ones((128, 128));"
+    "print(float((x @ x).sum()))"
+)
+
+
+def probe_backend(deadline_s: float = 90.0) -> bool:
+    """Fail-fast backend health check (round-3 lesson: a dead axon tunnel
+    turned the rung ladder into a 25-minute rc=124 with no record).
+
+    Runs a tiny jitted matmul in a CHILD process with a hard deadline —
+    backend-init hangs can't be interrupted in-process.  Returns False if
+    the backend is down; the caller emits a structured
+    ``backend-unavailable`` JSON line and exits nonzero in <2 min instead
+    of grinding the fallback ladder against a dead tunnel.
+    """
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", _PROBE_SRC],
+            timeout=deadline_s, capture_output=True, text=True,
+        )
+        if r.returncode == 0:
+            return True
+        print(f"bench: backend probe failed (rc={r.returncode}): "
+              f"{r.stderr.strip()[-300:]}", file=sys.stderr)
+        return False
+    except subprocess.TimeoutExpired:
+        print(f"bench: backend probe hung past {deadline_s:.0f}s",
+              file=sys.stderr)
+        return False
 
 
 def build(n_particles: int, grid: int, rebin_interval: int):
@@ -91,6 +124,10 @@ def _is_oom(e: Exception) -> bool:
 
 
 def main():
+    if not probe_backend():
+        print(json.dumps({"metric": "backend-unavailable", "value": 0,
+                          "unit": "pushes/s", "vs_baseline": 0}))
+        sys.exit(2)
     grid = int(os.environ.get("BENCH_GRID", 512))
     target_particles = float(os.environ.get("BENCH_PARTICLES", 1e8))
     rebin_interval = int(os.environ.get("BENCH_REBIN", 8))
@@ -137,6 +174,15 @@ def main():
             return
         except Exception as e:
             err = e
+            if not _is_oom(e) and not probe_backend(60.0):
+                # The backend died mid-ladder (round-3 mode: tunnel drop
+                # surfaces as "Unable to initialize backend") — record it
+                # honestly instead of burning the remaining rungs.
+                print(json.dumps({"metric": "backend-unavailable",
+                                  "value": 0, "unit": "pushes/s",
+                                  "vs_baseline": 0,
+                                  "error": str(e)[:300]}))
+                sys.exit(2)
             if not _is_oom(e) and dep_mode != "int8":
                 break  # real bug in the baseline config — do not retry
             if not _is_oom(e):

@@ -186,6 +186,10 @@ def main(argv=None):
                 ),
                 step=loaded.step,
                 drift=loaded.drift,
+                # window_x0 rides replicated like step/drift — dropping it
+                # here made a sharded moving-window resume raise
+                # "window_x0 is unset" on the first step.
+                window_x0=loaded.window_x0,
             )
         sim.state = loaded
         start_step = int(loaded.step)
@@ -214,6 +218,16 @@ def main(argv=None):
     species_names = [s.name for s in deck.species]
 
     window_log = {}
+    if args.resume is not None:
+        # Resume implies keep-existing: pre-resume snapshots stay in --out,
+        # so their lab-frame offsets must survive into the rewritten ledger.
+        prev_ledger = os.path.join(args.out, "window_offsets.json")
+        if os.path.exists(prev_ledger):
+            with open(prev_ledger) as f:
+                window_log.update(
+                    {int(k): int(v)
+                     for k, v in json.load(f)["offsets_cells"].items()}
+                )
 
     def save(step):
         if args.no_save:

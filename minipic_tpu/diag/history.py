@@ -26,6 +26,15 @@ class RunHistory:
         self._t0 = time.perf_counter()
 
     def record(self, step: int, dt: float, diag) -> None:
+        bad = getattr(diag, "weight_nonuniform", None)
+        if bad is not None and int(bad) > 0:
+            raise RuntimeError(
+                f"step {step}: int8 deposit engaged with NON-UNIFORM live "
+                f"particle weights in {int(bad)} species — the integer-ring "
+                "deposit scales currents by the uniform q*max(w), so this "
+                "run is depositing wrong currents. Use deposit='highest' "
+                "for per-particle weights (simulation.int8_weight_violations)."
+            )
         self.steps.append(int(step))
         self.time.append(float(step * dt))
         self.field_energy.append(float(diag.field_energy))

@@ -74,7 +74,8 @@ from ..fields.tiles import extract_field_tiles
 from ..fields.yee import update_b_half_periodic, update_e_full_periodic
 from ..particles.binning import rebin_by_tid, wrap_positions
 from ..particles.species import load_species
-from ..simulation import StepDiag, advance_species_tiles, resolve_backend
+from ..simulation import (StepDiag, advance_species_tiles,
+                          int8_weight_violations, resolve_backend)
 
 BAXIS = "d"
 
@@ -444,6 +445,8 @@ def build_balanced_step(deck: Deck, mesh: Mesh):
             overflow=overflow,
             momentum=jnp.stack(moms) if moms else jnp.zeros((0, 3), deck.dtype),
             shard_live=live.reshape(1),
+            weight_nonuniform=int8_weight_violations(
+                deck, binned, axes=(BAXIS,)),
         )
         return f, tuple(binned), diag, drift_now
 
@@ -451,7 +454,7 @@ def build_balanced_step(deck: Deck, mesh: Mesh):
     out_specs = (
         FieldState(*(P(),) * 6),
         (pspec,) * n_sp,
-        StepDiag(P(), P(), P(), P(), P(BAXIS)),
+        StepDiag(P(), P(), P(), P(), P(BAXIS), P()),
         P(),
     )
     smapped = jax.shard_map(

@@ -42,8 +42,8 @@ from ..fields.yee import update_b_half_block, update_e_full_block
 from ..particles.binning import rebin_flat, wrap_positions
 from ..particles.species import load_species
 from ..simulation import (StepDiag, advance_species_tiles,
-                          resolve_backend, window_injection_key,
-                          window_shift_now)
+                          int8_weight_violations, resolve_backend,
+                          window_injection_key, window_shift_now)
 from .exchange import exchange_particles
 from .halo import exchange_halo, fold_halo
 from .mesh import field_spec, local_tile_grid, make_mesh, particle_spec, shard_shape
@@ -451,13 +451,15 @@ def build_sharded_step(deck: Deck, mesh: Mesh):
             momentum=jnp.stack(moms) if moms else jnp.zeros((0, 3), deck.dtype),
             # one element per shard: the cross-chip work-skew observable
             shard_live=live.reshape(1),
+            weight_nonuniform=int8_weight_violations(
+                deck, binned, axes=("ry", "rx")),
         )
         return fnew, tuple(binned), diag, drift_now, window_new
 
     in_specs = (fspec, (pspec,) * n_sp, P(), P(), P())
     out_specs = (
         fspec, (pspec,) * n_sp,
-        StepDiag(P(), P(), P(), P(), P(("ry", "rx"))), P(), P(),
+        StepDiag(P(), P(), P(), P(), P(("ry", "rx")), P()), P(), P(),
     )
 
     # check_vma only off under interpret mode: the varying-axis *checker*

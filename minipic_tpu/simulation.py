@@ -75,6 +75,45 @@ class StepDiag(NamedTuple):
     # this array is the straggler skew; parallel/balance.py).  Shape
     # [rows*cols] sharded, [1] single-device.
     shard_live: jax.Array
+    # Count of int8-engaged species whose LIVE weights are non-uniform —
+    # the runtime guard behind the deck-time gate (spec.density is None).
+    # Non-zero means the integer-ring deposit is scaling currents with
+    # the WRONG q*w; RunHistory.record raises on it (diag cadence).
+    weight_nonuniform: jax.Array
+
+
+def int8_weight_violations(deck, species_states, axes=()):
+    """Count int8-engaged species whose LIVE weights are non-uniform.
+
+    The int8 matched-quantization deposit factors the uniform q*w out of
+    the integer-ring contraction as q*max(w) (ops/pallas/ppd_kernel.py);
+    that is only correct when every live particle of the species shares
+    one weight.  The deck gate (`spec.density is None`) is a deck-time
+    proxy — a custom seed_state editing weights per particle would
+    deposit wrong currents SILENTLY while forces stay right (the class
+    of bug behind docs/ROADMAP.md round-3 lesson 1).  This on-device
+    census (free on the diag cadence) turns that into a loud error via
+    RunHistory.record.
+
+    `axes`: mesh axis names to reduce over inside shard_map — the check
+    must be GLOBAL (per-shard maxima can each be uniform while differing
+    across shards; the kernel's shard-local q*max(w) scale is then wrong
+    on every shard).  A shard with zero live particles is vacuously
+    uniform (dead slots deposit nothing).
+    """
+    bad = jnp.zeros((), jnp.int32)
+    if deck.deposit != "int8":
+        return bad
+    for spec, p in zip(deck.species, species_states):
+        if spec.density is not None:
+            continue  # density-profile species fall back to the f32 path
+        wmax = jnp.max(p.w)
+        wmin = jnp.min(jnp.where(p.w > 0, p.w, jnp.inf))
+        if axes:
+            wmax = jax.lax.pmax(wmax, axes)
+            wmin = jax.lax.pmin(wmin, axes)
+        bad = bad + ((wmin != wmax) & jnp.isfinite(wmin)).astype(jnp.int32)
+    return bad
 
 
 def _tile_origins(tiling, dtype):
@@ -479,6 +518,7 @@ def build_step(deck: Deck):
             overflow=overflow,
             momentum=jnp.stack(moms) if moms else jnp.zeros((0, 3), deck.dtype),
             shard_live=live.reshape(1),
+            weight_nonuniform=int8_weight_violations(deck, binned),
         )
         window_x0 = state.window_x0
         if deck.moving_window:
