@@ -855,12 +855,19 @@ def _segment_kernel(
 def segment_movers(
     movers: ParticleState, *, tile_rows: int, tile_cols: int, tile_ny: int,
     tile_nx: int, b_seg: int, kc: int = 256, interpret: bool = False,
-    vma_axes=(), wsplit=None,
+    vma_axes=(), wsplit=None, row0=0, col0=0, grid_rows=None,
+    grid_cols=None,
 ):
     """Deal-route stage 1: bin each tile's compacted movers by destination
     direction.  Returns (segments ParticleState [T, 8*b_seg] — direction d
     compacted at columns [d*b_seg, (d+1)*b_seg) — and dropped [T] i32:
-    per-direction segment overflow plus >1-hop kills)."""
+    per-direction segment overflow plus >1-hop kills).
+
+    Sharded use: tile_rows/tile_cols describe the LOCAL contiguous block
+    layout, row0/col0 its global tile offset (traced scalars are fine —
+    they ride the scalar-prefetch origin vector), and grid_rows/grid_cols
+    the GLOBAL tile counts for the periodic far-edge fold (default: the
+    local counts, i.e. the single-device case)."""
     t_total, mc = movers.num_tiles, movers.capacity
     if mc % kc or b_seg % kc:
         for d in (128, 256):
@@ -872,8 +879,10 @@ def segment_movers(
 
     kern = functools.partial(
         _segment_kernel,
-        tile_nx=tile_nx, tile_ny=tile_ny, tile_cols=tile_cols,
-        tile_rows=tile_rows, kc=kc, n_chunks=mc // kc, b_seg=b_seg,
+        tile_nx=tile_nx, tile_ny=tile_ny,
+        tile_cols=(grid_cols if grid_cols is not None else tile_cols),
+        tile_rows=(grid_rows if grid_rows is not None else tile_rows),
+        kc=kc, n_chunks=mc // kc, b_seg=b_seg,
         n_tiles=t_total, wsplit=(False if interpret else _wsplit_default(wsplit)),
     )
     pin = pl.BlockSpec((1, 1, mc), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM)
@@ -883,7 +892,7 @@ def segment_movers(
     def r3(a):
         return a.reshape(t_total, 1, mc)
 
-    origin = _tile_rc(t_total, tile_rows, tile_cols, 0, 0, False, None)
+    origin = _tile_rc(t_total, tile_rows, tile_cols, row0, col0, False, None)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(t_total,),

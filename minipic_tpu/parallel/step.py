@@ -272,25 +272,37 @@ def build_sharded_step(deck: Deck, mesh: Mesh):
                 return out, (ov + dropped).astype(jnp.int32), zero
 
             mc = deck.mover_cap(p.capacity) if use_incremental else 0
+            sc = deck.mover_seg_cap(mc) if (use_incremental and mc > 0) else 0
+            # Deal-route gate, mirroring binning.rebin_auto: the segment
+            # pass + static rolls replace the exchange AND the mover-pool
+            # routing sort (the seam strips of the global roll ARE the
+            # cross-shard movers).  seg_cap == 0 or tight buckets keep the
+            # exchange + small-sort route.
+            use_seg = sc > 0 and p.capacity >= 8 * sc + 256
 
-            def do_rebin_incremental(pp, mc=mc):
-                """Sharded sortless pass (mirrors binning.rebin_auto with a
-                cross-shard exchange between extract and route): extract
-                per shard (all-or-nothing per tile), ppermute only the
-                mover buffers, small routing sort, then append at the
-                watermarks — or merge-defrag in place when any bucket lacks
-                append headroom.  Both predicates are psum-agreed so every
-                shard takes the same branch (the branches contain
-                collectives).  Loss modes, all counted in the overflow
-                diag: true census overflow past bucket capacity, incoming
-                buffers past mover capacity, exchange-buffer overflow
-                (grow deck.exchange_capacity), and forced extraction once
-                the drift budget is exhausted.  Deferred tiles (pending)
-                lose nothing — the step keeps the drift budget hot and the
-                next step drains them."""
+            def do_rebin_incremental(pp, mc=mc, sc=sc, use_seg=use_seg):
+                """Sharded sortless pass (mirrors binning.rebin_auto):
+                split per shard (all-or-nothing per tile), then EITHER the
+                deal route — direction segments + global static roll whose
+                seam ppermutes carry the cross-shard movers
+                (exchange.roll_segments_sharded), sort-free — or the
+                legacy route (ppermute the mover buffers, small routing
+                sort), then append at the watermarks — or merge-defrag in
+                place when any bucket lacks append headroom.  Both
+                predicates are psum-agreed so every shard takes the same
+                branch (the branches contain collectives).  Loss modes,
+                all counted in the overflow diag: true census overflow
+                past bucket capacity, per-direction segment overflow and
+                >1-hop kills (deal route), incoming buffers past mover
+                capacity / exchange-buffer overflow (legacy route), and
+                forced extraction once the drift budget is exhausted.
+                Deferred tiles (pending) lose nothing — the step keeps the
+                drift budget hot and the next step drains them."""
                 from ..ops.pallas.rebin_kernels import (
-                    append_incoming, defrag_buckets, split_buckets,
+                    append_incoming, append_runs, defrag_buckets,
+                    segment_movers, split_buckets,
                 )
+                from .exchange import roll_segments_sharded
 
                 p1, movers, wm, pending = split_buckets(
                     pp,
@@ -305,22 +317,52 @@ def build_sharded_step(deck: Deck, mesh: Mesh):
                     force=force_flag,
                     vma_axes=("ry", "rx"),
                 )
-                merged, dropped_x = do_exchange(movers)
-                incoming, ovf_small = rebin_flat(
-                    merged,
-                    tile_rows=ltr,
-                    tile_cols=ltc,
-                    tile_nx=nxt,
-                    tile_ny=nyt,
-                    capacity=mc,
-                    row0=trow0,
-                    col0=tcol0,
-                )
+                if use_seg:
+                    segments, seg_drop = segment_movers(
+                        movers,
+                        tile_rows=ltr,
+                        tile_cols=ltc,
+                        tile_ny=nyt,
+                        tile_nx=nxt,
+                        b_seg=sc,
+                        interpret=interpret,
+                        vma_axes=("ry", "rx"),
+                        row0=trow0,
+                        col0=tcol0,
+                        grid_rows=tiling.tile_rows,
+                        grid_cols=tiling.tile_cols,
+                    )
+                    incoming = roll_segments_sharded(
+                        segments, ltr=ltr, ltc=ltc, rows=rows, cols=cols,
+                        b_seg=sc,
+                    )
+                    # No exchange on this route; keep the vma typing of
+                    # the legacy route's (ppermute-derived) count.
+                    dropped_x = lax.pcast(
+                        jnp.zeros((), jnp.int32), ("ry", "rx"), to="varying")
+                    ovf_small = seg_drop.sum()
+                else:
+                    merged, dropped_x = do_exchange(movers)
+                    incoming, ovf_small = rebin_flat(
+                        merged,
+                        tile_rows=ltr,
+                        tile_cols=ltc,
+                        tile_nx=nxt,
+                        tile_ny=nyt,
+                        capacity=mc,
+                        row0=trow0,
+                        col0=tcol0,
+                    )
                 n_in = jnp.sum((incoming.w > 0).astype(jnp.int32), axis=1)
                 ok_local = jnp.all(wm + n_in <= pp.capacity - 256)
                 ok = lax.psum(ok_local.astype(jnp.int32), ("ry", "rx")) == rows * cols
 
                 def fast(_):
+                    if use_seg:
+                        return append_runs(
+                            p1, incoming, wm, b_seg=sc, interpret=interpret,
+                            vma_axes=("ry", "rx"),
+                        )
                     p2, db = append_incoming(
                         p1, incoming, wm, interpret=interpret, vma_axes=("ry", "rx")
                     )
