@@ -75,7 +75,8 @@ from ..fields.yee import update_b_half_periodic, update_e_full_periodic
 from ..particles.binning import rebin_by_tid, wrap_positions
 from ..particles.species import load_species
 from ..simulation import (StepDiag, advance_species_tiles,
-                          int8_weight_violations, resolve_backend)
+                          int8_weight_violations, resolve_backend,
+                          window_injection_key, window_shift_now)
 
 BAXIS = "d"
 
@@ -168,13 +169,32 @@ def build_balanced_step(deck: Deck, mesh: Mesh):
     for s in range(n_shards):
         local_of_np[stripe_np[s]] = np.arange(t_local)
 
-    def local_step(f: FieldState, species, step, drift):
+    def local_step(f: FieldState, species, step, drift, window_x0):
         s_id = lax.axis_index(BAXIS)
         gids = jnp.take(
             jnp.asarray(stripe_np, jnp.int32), s_id, axis=0
         )  # [T_local], shard-varying
         grow = gids // tc
-        gcol = gids % tc
+        gcol_st = gids % tc  # STORAGE column (fixed placement label)
+        # Moving window, striped: instead of physically rolling buckets
+        # one tile column left (which under striping would relocate
+        # nearly EVERY bucket to a different shard — a full-payload
+        # collective per shift), rotate the gid <-> storage map: after k
+        # shifts, storage bucket (r, c_st) REPRESENTS window tile
+        # (r, (c_st - k) mod tc).  Content never moves; a shift costs an
+        # x -= tile_nx and one injected column (the buckets whose window
+        # column wrapped from 0 to tc-1).  Placement balance is
+        # unaffected: the stripe map spreads every column over all
+        # shards, so the rotated ownership is exactly as balanced as the
+        # static one.  All tile addressing below goes through gcol/gid
+        # (the WINDOW coordinates); gcol_st only keys the rotation.
+        if deck.moving_window:
+            k_shift = window_x0 // nxt
+            gcol = jnp.mod(gcol_st - k_shift, tc)
+        else:
+            k_shift = None
+            gcol = gcol_st
+        gids = grow * tc + gcol  # window gid of each storage bucket
         ox = (gcol * nxt).astype(deck.dtype)[:, None]
         oy = (grow * nyt).astype(deck.dtype)[:, None]
 
@@ -258,11 +278,23 @@ def build_balanced_step(deck: Deck, mesh: Mesh):
         fe = field_energy(f, dx, dy)
 
         # --- 5. re-bin: split movers, all-gather, route to stripes ---
+        # Moving window: the shift retires the trailing column's buckets
+        # (their content outflows under the injection overwrite), so
+        # buckets must be FRESH — fold the shift predicate into the
+        # re-bin predicate and force it, like the other two drivers.
+        # window_x0 is replicated, so the predicate is mesh-agreed.
+        if deck.moving_window:
+            shift_now = window_shift_now(step, window_x0, dt, nxt, dx)
+        else:
+            shift_now = None
         if trigger_drift:
             disp = lax.pmax(functools.reduce(jnp.maximum, disps), BAXIS)
             drift_now = drift + disp
             do_rebin_pred = drift_now > deck.drift_threshold()
             force_flag = drift_now > deck.force_threshold()
+            if shift_now is not None:
+                do_rebin_pred = do_rebin_pred | shift_now
+                force_flag = force_flag | shift_now
         else:
             drift_now = drift
             sched = (
@@ -278,6 +310,10 @@ def build_balanced_step(deck: Deck, mesh: Mesh):
             else:
                 do_rebin_pred = sched
                 force_flag = True
+            if shift_now is not None:
+                if do_rebin_pred is not None:
+                    do_rebin_pred = do_rebin_pred | shift_now
+                force_flag = jnp.logical_or(force_flag, shift_now)
 
         overflow = jnp.zeros((), jnp.int32)
         pending_total = jnp.zeros((), jnp.int32)
@@ -289,13 +325,16 @@ def build_balanced_step(deck: Deck, mesh: Mesh):
 
             def dest_tid(flat):
                 """(local bucket index, belongs-to-this-shard) from global
-                positions under the striped gid map."""
+                WINDOW positions under the striped gid map (rotated by the
+                window shift count — see the k_shift comment above)."""
                 col = jnp.clip(
                     jnp.floor(flat.x / nxt).astype(jnp.int32), 0, tc - 1
                 )
                 row = jnp.clip(
                     jnp.floor(flat.y / nyt).astype(jnp.int32), 0, tr - 1
                 )
+                if k_shift is not None:
+                    col = jnp.mod(col + k_shift, tc)  # window -> storage
                 gid = row * tc + col
                 on_grid = (
                     (flat.x >= 0) & (flat.x < deck.nx)
@@ -448,13 +487,64 @@ def build_balanced_step(deck: Deck, mesh: Mesh):
             weight_nonuniform=int8_weight_violations(
                 deck, binned, axes=(BAXIS,)),
         )
-        return f, tuple(binned), diag, drift_now
 
-    in_specs = (FieldState(*(P(),) * 6), (pspec,) * n_sp, P(), P())
+        window_new = window_x0
+        if deck.moving_window:
+            from ..particles.species import inject_column
+
+            # The rotation (see k_shift above) makes the shift O(local):
+            # no collectives, so the whole block lives inside the cond —
+            # non-shift steps pay one select.  Diagnostics above reflect
+            # the PRE-shift state, matching the other drivers' ordering.
+            w0n = window_x0 + nxt
+            col_mask = jax.lax.broadcasted_iota(
+                jnp.int32, (deck.ny, deck.nx), 1) < (deck.nx - nxt)
+            # Buckets whose window column wraps 0 -> tc-1 at this shift —
+            # window col (gcol_st - (k+1)) mod tc == tc-1, i.e. storage
+            # column k mod tc: the current TRAILING column, whose content
+            # outflows under the injection overwrite.
+            inj_mask = gcol_st == jnp.mod(k_shift, tc)
+
+            def _shift(args):
+                f_, sps = args
+                f2 = FieldState(*(
+                    jnp.where(col_mask, jnp.roll(c, -nxt, axis=1), 0.0)
+                    for c in f_))
+                out = []
+                for i, (spec, p) in enumerate(zip(deck.species, sps)):
+                    key = window_injection_key(i, w0n)
+                    # Fresh plasma for every local bucket's ROW (keyed per
+                    # global row, so all drivers inject bit-identically),
+                    # masked to the wrapped buckets.  Generating t_local
+                    # rows and keeping ~t_local/tc is redundant work, but
+                    # it runs only on shift steps and keeps the injection
+                    # a single static-shape call.
+                    inj = inject_column(spec, deck.domain, tiling,
+                                        p.capacity, key, w0n, deck.dtype,
+                                        row_ids=grow)
+                    chans = []
+                    for name in ParticleState._fields:
+                        a = getattr(p, name)
+                        if name == "x":
+                            a = a - nxt
+                        chans.append(jnp.where(
+                            inj_mask[:, None], getattr(inj, name), a))
+                    out.append(ParticleState(*chans))
+                return f2, tuple(out)
+
+            f, binned = lax.cond(
+                shift_now, _shift, lambda args: args, (f, tuple(binned)))
+            binned = list(binned)
+            window_new = jnp.where(shift_now, w0n, window_x0)
+
+        return f, tuple(binned), diag, drift_now, window_new
+
+    in_specs = (FieldState(*(P(),) * 6), (pspec,) * n_sp, P(), P(), P())
     out_specs = (
         FieldState(*(P(),) * 6),
         (pspec,) * n_sp,
         StepDiag(P(), P(), P(), P(), P(BAXIS), P()),
+        P(),
         P(),
     )
     smapped = jax.shard_map(
@@ -466,11 +556,20 @@ def build_balanced_step(deck: Deck, mesh: Mesh):
         drift = state.drift
         if drift is None:
             drift = jnp.zeros((), jnp.float32)
-        fnew, species, diag, drift_now = smapped(
-            state.fields, state.species, state.step, drift
+        w0 = state.window_x0
+        if w0 is None:
+            if deck.moving_window:
+                raise ValueError(
+                    "deck.moving_window but SimState.window_x0 is unset — "
+                    "initialize it to 0 (BalancedSimulation does)")
+            w0 = jnp.zeros((), jnp.int32)
+        fnew, species, diag, drift_now, w0n = smapped(
+            state.fields, state.species, state.step, drift, w0
         )
         return SimState(
-            fields=fnew, species=species, step=state.step + 1, drift=drift_now
+            fields=fnew, species=species, step=state.step + 1,
+            drift=drift_now,
+            window_x0=(w0n if deck.moving_window else state.window_x0),
         ), diag
 
     return step
@@ -484,12 +583,6 @@ class BalancedSimulation:
     def __init__(self, deck: Deck, fields: Optional[FieldState] = None,
                  seed: int = 0, devices=None):
         deck.validate()
-        if deck.moving_window:
-            raise NotImplementedError(
-                "moving_window is single-device (Simulation) for now "
-                "— the sharded window shift (cross-shard bucket roll +"
-                " leading-shard injection) has no implementation here"
-            )
         self.deck = deck
         devices = list(devices if devices is not None else jax.devices())
         self.mesh = Mesh(np.array(devices), (BAXIS,))
@@ -522,6 +615,8 @@ class BalancedSimulation:
         self.state = SimState(
             fields=fields, species=tuple(species),
             step=jnp.zeros((), jnp.int32), drift=jnp.zeros((), jnp.float32),
+            window_x0=(jnp.zeros((), jnp.int32) if deck.moving_window
+                       else None),
         )
         self._step = jax.jit(build_balanced_step(deck, self.mesh))
         self._capmgrs = None

@@ -175,6 +175,7 @@ def inject_column(
     dtype=jnp.float32,
     trow0=0,
     rows=None,
+    row_ids=None,
 ):
     """Fresh plasma for the moving window's leading tile column.
 
@@ -184,11 +185,17 @@ def inject_column(
     that has advanced N columns injects exactly the plasma a static run
     would have loaded there — deterministic across checkpoints/restarts
     (key is folded with x0_cells by the caller).  trow0/rows select a
-    GLOBAL tile-row block for sharded callers; thermal noise is keyed per
-    global row, so every decomposition injects identical plasma."""
-    if rows is None:
-        rows = tiling.tile_rows
-    row_ids = trow0 + jnp.arange(rows)
+    GLOBAL tile-row block for sharded callers; `row_ids` (any global tile
+    rows, traced OK — the striped/balanced placement) overrides both.
+    Thermal noise is keyed per global row, so every decomposition injects
+    identical plasma."""
+    if row_ids is None:
+        if rows is None:
+            rows = tiling.tile_rows
+        row_ids = trow0 + jnp.arange(rows)
+    else:
+        row_ids = jnp.asarray(row_ids)
+        rows = row_ids.shape[0]
     trow = row_ids.astype(dtype)[:, None]
     tcol = jnp.full((rows, 1), tiling.tile_cols - 1, dtype)
     return _load_buckets(spec, domain, tiling, capacity, key, trow, tcol,

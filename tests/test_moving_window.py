@@ -179,3 +179,54 @@ def test_sharded_window_matches_single_device():
             b_gid = np.sort(b_gid, axis=1)
             np.testing.assert_allclose(b_gid, a, rtol=1e-10, atol=1e-12,
                                        err_msg=name)
+
+
+def test_balanced_window_matches_single_device():
+    """Striped (BalancedSimulation) moving window == single-device moving
+    window, exactly (f64, XLA path).  The balanced window never moves
+    bucket data: the gid <-> storage map rotates by the shift count
+    (parallel/balanced.py k_shift), so the test's storage->gid unpick
+    must apply the same rotation.  This is the driver the window exists
+    for — the wakefield's leading-edge concentration is what striping
+    de-skews."""
+    import jax
+
+    from minipic_tpu.parallel.balanced import (
+        BalancedSimulation, balanced_permutation)
+
+    deck = _pulse_deck(
+        species=(SpeciesSpec("ele", charge=-1.0, mass=1.0, ppc=4,
+                             uth=0.01),
+                 SpeciesSpec("ion", charge=+1.0, mass=1836.0, ppc=4,
+                             uth=0.0)),
+        precision="f64",
+    )
+    n_dev = 4
+    ref = Simulation(deck, fields=None, seed=7)
+    bal = BalancedSimulation(deck, seed=7, devices=jax.devices()[:n_dev])
+    n = 50  # >= 2 shifts at dt/dx ~ 0.354, tile_nx = 8
+    ref.step(n)
+    bal.step(n)
+    assert int(ref.state.window_x0) == int(bal.state.window_x0) > 8
+    for a, b in zip(ref.state.fields, bal.state.fields):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-10, atol=1e-12)
+    t = deck.tiling
+    perm_static = balanced_permutation(
+        t.num_tiles, n_dev, t.tile_rows, t.tile_cols)
+    k = int(bal.state.window_x0) // deck.tile_nx
+    r, c = perm_static // t.tile_cols, perm_static % t.tile_cols
+    perm = r * t.tile_cols + (c - k) % t.tile_cols  # storage -> WINDOW gid
+    for pref, pbal in zip(ref.state.species, bal.state.species):
+        wa = np.asarray(pref.w) > 0
+        wb = np.asarray(pbal.w) > 0
+        assert wa.sum() == wb.sum()
+        for name in ("x", "y", "px", "py", "pz", "w"):
+            a = np.sort(np.where(wa, np.asarray(getattr(pref, name)), 0.0),
+                        axis=1)
+            b = np.where(wb, np.asarray(getattr(pbal, name)), 0.0)
+            b_gid = np.empty_like(b)
+            b_gid[perm] = b
+            b_gid = np.sort(b_gid, axis=1)
+            np.testing.assert_allclose(b_gid, a, rtol=1e-10, atol=1e-12,
+                                       err_msg=name)
