@@ -70,7 +70,7 @@ from ..core.state import (
 )
 from ..fields.boundary import apply_damping, damping_mask
 from ..fields.halo import fold_block_periodic, pad_fields_periodic
-from ..fields.tiles import extract_field_tiles
+
 from ..fields.yee import update_b_half_periodic, update_e_full_periodic
 from ..particles.binning import rebin_by_tid, wrap_positions
 from ..particles.species import load_species
@@ -199,10 +199,20 @@ def build_balanced_step(deck: Deck, mesh: Mesh):
         oy = (grow * nyt).astype(deck.dtype)[:, None]
 
         # --- 1/2. replicated fields -> local striped windows ---
+        # Slice ONLY this shard's gids' guard-padded windows from the
+        # padded grid (vmapped dynamic_slice; gids is shard-varying, so
+        # the windows are too).  Extracting all T windows and take-ing
+        # T/S of them cost O(T*nyg*nxg*6) redundant HBM traffic per chip.
         fpad = pad_fields_periodic(f, g)
-        ftiles_all = extract_field_tiles(fpad, tr, tc, nyt, nxt, g)
-        # gids is shard-varying, so the gathered windows are too.
-        ftiles = FieldState(*(jnp.take(c, gids, axis=0) for c in ftiles_all))
+        r0 = (grow * nyt).astype(jnp.int32)
+        c0 = (gcol * nxt).astype(jnp.int32)
+
+        def slice_windows(comp):
+            return jax.vmap(
+                lambda a, b: lax.dynamic_slice(comp, (a, b), (nyg, nxg))
+            )(r0, c0)
+
+        ftiles = FieldState(*(slice_windows(c) for c in fpad))
 
         kernel_wrap = (deck.nx, deck.ny) if (periodic and backend == "pallas") else None
         center_grid = (deck.nx, deck.ny) if periodic else None
