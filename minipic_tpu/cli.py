@@ -59,6 +59,12 @@ def main(argv=None):
     ap.add_argument("--nx", type=int, default=None)
     ap.add_argument("--ny", type=int, default=None)
     ap.add_argument("--sharded", action="store_true", help="run on all devices via the 2-D mesh")
+    ap.add_argument(
+        "--balanced", action="store_true",
+        help="run on all devices with STRIPED tile placement "
+        "(parallel/balanced.py) — load-balanced by construction; use for "
+        "decks whose particles concentrate (blobs, wakefields, bunching)",
+    )
     ap.add_argument("--ranks", type=int, default=1, help="fan snapshot files over N virtual ranks")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument(
@@ -146,10 +152,16 @@ def main(argv=None):
 
     fields = case.init_fields(deck) if case.init_fields else None
 
+    if args.sharded and args.balanced:
+        raise SystemExit("--sharded and --balanced are mutually exclusive")
     if args.sharded:
         from .parallel.step import ShardedSimulation
 
         sim = ShardedSimulation(deck, fields=fields, seed=args.seed)
+    elif args.balanced:
+        from .parallel.balanced import BalancedSimulation
+
+        sim = BalancedSimulation(deck, fields=fields, seed=args.seed)
     else:
         from .simulation import Simulation
 
@@ -169,15 +181,26 @@ def main(argv=None):
                 f"--resume: checkpoint has {len(loaded.species)} species, "
                 f"deck has {len(deck.species)}"
             )
-        if args.sharded:
-            # Restore the saved (shard-major) layout onto the mesh.
+        if args.sharded or args.balanced:
+            # Restore the saved layout onto the mesh (shard-major bucket
+            # order for --sharded, striped storage order for --balanced —
+            # either way the run mode and device count must match the
+            # saving run, as documented on --resume).
             import jax
-            from jax.sharding import NamedSharding
-            from .core.state import FieldState, ParticleState, SimState
-            from .parallel.mesh import field_spec, particle_spec
+            from jax.sharding import NamedSharding, PartitionSpec
 
-            fsh = NamedSharding(sim.mesh, field_spec())
-            psh = NamedSharding(sim.mesh, particle_spec())
+            from .core.state import FieldState, ParticleState, SimState
+
+            if args.balanced:
+                from .parallel.balanced import BAXIS
+
+                fsh = NamedSharding(sim.mesh, PartitionSpec())
+                psh = NamedSharding(sim.mesh, PartitionSpec(BAXIS, None))
+            else:
+                from .parallel.mesh import field_spec, particle_spec
+
+                fsh = NamedSharding(sim.mesh, field_spec())
+                psh = NamedSharding(sim.mesh, particle_spec())
             loaded = SimState(
                 fields=FieldState(*(jax.device_put(c, fsh) for c in loaded.fields)),
                 species=tuple(

@@ -124,15 +124,20 @@ def _tile_origins(tiling, dtype):
 
 
 def window_shift_now(step, window_x0, dt: float, tile_nx: int, dx: float):
-    """Moving-window shift predicate, shared by BOTH drivers (sharded ==
-    single-device parity is bit-level, so the f32 arithmetic must be one
-    code path).  Shift when the light front has crossed the NEXT
-    tile-column boundary beyond the shifts already taken.  Anchoring on
-    window_x0 (exact int32) instead of floor(step*dt) - floor((step-1)*dt)
-    makes the schedule self-correcting: an f32 rounding hiccup delays a
-    shift by a step and the next step catches up, and nothing freezes at
-    step ~2^24 where f32(step)+1 == f32(step) would kill an
-    increment-based predicate for good."""
+    """Moving-window shift predicate, shared by ALL THREE drivers
+    (single / block-sharded / striped — cross-driver parity is bit-level,
+    so the f32 arithmetic must be ONE code path; never reimplement this
+    comparison at a call site).  Shift when the light front has crossed
+    the NEXT tile-column boundary beyond the shifts already taken.
+    Anchoring on window_x0 (exact int32) instead of floor(step*dt) -
+    floor((step-1)*dt) makes the schedule self-correcting: an f32
+    rounding hiccup delays a shift by a step and the next step catches
+    up, and nothing freezes at step ~2^24 where f32(step)+1 == f32(step)
+    would kill an increment-based predicate for good.  Past ~2^24-scale
+    step*dt products the f32 evaluation can jitter a shift by a step
+    (still self-correcting, still driver-agreed); exact scheduling at
+    that scale would need f64/rational arithmetic no current deck runs
+    long enough to care about."""
     period = tile_nx * dx
     done = (window_x0 // tile_nx).astype(jnp.float32)
     t1 = (step.astype(jnp.float32) + 1.0) * jnp.float32(dt)

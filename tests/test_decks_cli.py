@@ -88,3 +88,33 @@ def test_cli_resume_bit_exact(tmp_path):
             np.testing.assert_array_equal(
                 np.asarray(getattr(sa, name)), np.asarray(getattr(sb, name)), err_msg=name
             )
+
+
+def test_cli_balanced_window_resume_bit_exact(tmp_path):
+    """--balanced on a moving-window deck, interrupted and resumed: must
+    land bit-exact on the uninterrupted balanced run (covers the striped
+    driver in the CLI, the gid-rotation window under resume, and the
+    window_x0 restore the round-3 advisor flagged for --sharded)."""
+    out_a = str(tmp_path / "full")
+    out_b = str(tmp_path / "split")
+    args = ["--deck", "laser_wakefield_window", "--nx", "64", "--ny", "32",
+            "--save-every", "50", "--precision", "f64", "--no-save",
+            "--balanced"]
+    assert cli_main(args + ["--steps", "30", "--out", out_a]) == 0
+    assert cli_main(args + ["--steps", "15", "--out", out_b]) == 0
+    assert cli_main(args + ["--steps", "30", "--out", out_b, "--resume"]) == 0
+
+    from minipic_tpu.io.checkpoint import load_checkpoint
+
+    a = load_checkpoint(os.path.join(out_a, "checkpoint.npz"))
+    b = load_checkpoint(os.path.join(out_b, "checkpoint.npz"))
+    assert int(a.step) == int(b.step) == 30
+    assert int(a.window_x0) == int(b.window_x0) > 0
+    for ca, cb in zip(a.fields, b.fields):
+        np.testing.assert_array_equal(np.asarray(ca), np.asarray(cb))
+    for sa, sb in zip(a.species, b.species):
+        for name in ("x", "y", "px", "py", "pz", "w"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(sa, name)), np.asarray(getattr(sb, name)),
+                err_msg=name,
+            )
