@@ -289,15 +289,35 @@ def _sub_chunk(
             # force and current sides); outside the support the shape is
             # 0 regardless of bf16's coarser |u| resolution.  Pays only
             # if the VPU runs packed bf16 at 2x (scripts/exp_vpu.py).
+            # Mosaic on v5e rejects bf16 cmpf ("Target does not support
+            # this comparison", measured docs/R4_BATCH.log) — so the
+            # support selects compare the ORIGINAL f32 |u| and only the
+            # polynomial arithmetic runs packed bf16.
             def _sv(u):
-                return _shape_vals(u.astype(jnp.bfloat16), order).astype(
+                au = jnp.abs(u)
+                m_in = au <= 0.5
+                m_out = au <= 1.5
+                ab = au.astype(jnp.bfloat16)
+                inner = 0.75 - ab * ab
+                outer = 0.5 * (1.5 - ab) ** 2
+                z = jnp.zeros_like(outer)
+                if order == 1:
+                    lin = jnp.maximum(
+                        jnp.bfloat16(0.0), 1.0 - ab)
+                    return lin.astype(jnp.float32)
+                return jnp.where(m_in, inner,
+                                 jnp.where(m_out, outer, z)).astype(
                     jnp.float32)
         else:
             def _sv(u):
                 return _shape_vals(u, order)
         if "evals" in abl:
-            sx_i = jnp.zeros((nxg, 1), jnp.float32) + xi  # [nxg, KC] stand-in
-            sy_i = jnp.zeros((nyg, 1), jnp.float32) + eta
+            # Stand-in keeps the data dependence without the polynomial.
+            # (A [nxg, 1] zeros + [1, KC] two-sided broadcast SIGABRTed
+            # Mosaic: "limits[i] <= dim(i) (2 vs. 1)" — broadcast_to
+            # lowers cleanly.)
+            sx_i = jnp.broadcast_to(xi, (nxg, xi.shape[1]))
+            sy_i = jnp.broadcast_to(eta, (nyg, eta.shape[1]))
         else:
             sx_i = _sv(xi - cx)  # [nxg, KC]
             sy_i = _sv(eta - cy)  # [nyg, KC]

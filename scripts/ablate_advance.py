@@ -96,7 +96,13 @@ def main():
                "red,boris,esirkepov,prep,stagger-evals",
                "red,boris,esirkepov,prep,stagger-evals,depdot",
                "red,boris,esirkepov,prep,stagger-evals,depdot,evals"):
-        t = run(ab)
+        try:
+            t = run(ab)
+        except Exception as e:  # noqa: BLE001 — one bad lowering must not
+            # cost the rest of the table (docs/R4_BATCH.log: "evals"
+            # SIGABRTed Mosaic and dropped the combined rows)
+            print(f"no-{ab:52s} FAILED {type(e).__name__}", flush=True)
+            continue
         print(f"no-{ab:52s} {t*1e3:8.1f} ms", flush=True)
 
 

@@ -84,19 +84,29 @@ def main():
     print(f"append_runs       {ta*1e3:8.1f} ms   dropped={int(dropb.sum())}", flush=True)
     print(f"DEAL TOTAL        {(ts+tg+tr_+ta)*1e3:8.1f} ms", flush=True)
 
-    routef = jax.jit(lambda m, q: _route(m, q, t, mc))
-    tro = timeit(routef, movers, p1)
-    incoming, ovf = routef(movers, p1)
-    app0f = jax.jit(lambda q, i, w: append_incoming(q, i, w))
-    ta0 = timeit(app0f, p1, incoming, wm)
-    print(f"route(sort)       {tro*1e3:8.1f} ms   append {ta0*1e3:8.1f} ms", flush=True)
-    print(f"SORT TOTAL        {(ts+tro+ta0)*1e3:8.1f} ms", flush=True)
-
-    # conservation cross-check on chip
+    # conservation cross-check on chip (before freeing buffers)
     live_before = int(jnp.sum((p.w > 0).astype(jnp.int32)))
     live_after = int(jnp.sum((p2.w > 0).astype(jnp.int32)))
     print(f"live before/after deal: {live_before} {live_after} "
           f"(pend {int(pend.sum())})", flush=True)
+
+    # Sort-route baseline: at bench scale several full-capacity particle
+    # sets are live by here (~2.6 GB each) and the _route sort OOMed the
+    # chip (docs/R4_BATCH.log, RESOURCE_EXHAUSTED) — free everything the
+    # baseline doesn't need and keep it non-fatal.
+    del p, p2, dropb, inc, seg, segw
+    try:
+        routef = jax.jit(lambda m, q: _route(m, q, t, mc))
+        tro = timeit(routef, movers, p1)
+        incoming, ovf = routef(movers, p1)
+        del ovf
+        app0f = jax.jit(lambda q, i, w: append_incoming(q, i, w))
+        ta0 = timeit(app0f, p1, incoming, wm)
+        print(f"route(sort)       {tro*1e3:8.1f} ms   append {ta0*1e3:8.1f} ms", flush=True)
+        print(f"SORT TOTAL        {(ts+tro+ta0)*1e3:8.1f} ms", flush=True)
+    except Exception as e:  # noqa: BLE001 — baseline only, keep deal data
+        print(f"sort-route baseline failed: {type(e).__name__}: {e}",
+              flush=True)
 
 
 if __name__ == "__main__":

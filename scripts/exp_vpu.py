@@ -21,17 +21,25 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _poly_kernel(x_ref, o_ref, *, reps: int, dt):
-    x = x_ref[...].astype(dt)
-    acc = jnp.zeros(x.shape, dt)
+    # Mirrors the kernel's qeval16 structure exactly: Mosaic on v5e
+    # rejects bf16 cmpf, so the support selects compare the f32 |u| and
+    # only the polynomial arithmetic runs in `dt`.
+    x32 = x_ref[...]
+    acc = jnp.zeros(x32.shape, jnp.float32)
     for r in range(reps):
-        u = x - (0.13 * r)
-        au = jnp.abs(u)
+        u32 = x32 - (0.13 * r)
+        au32 = jnp.abs(u32)
+        m_in = au32 <= 0.5
+        m_out = au32 <= 1.5
+        au = au32.astype(dt)
         inner = 0.75 - au * au
         outer = 0.5 * (1.5 - au) ** 2
-        s = jnp.where(au <= 0.5, inner, jnp.where(au <= 1.5, outer, 0.0))
+        z = jnp.zeros_like(outer)
+        s = jnp.where(m_in, inner, jnp.where(m_out, outer, z)).astype(
+            jnp.float32)
         q = jnp.round(s * 84.0)
         acc = acc + q
-    o_ref[...] = acc.astype(jnp.float32)
+    o_ref[...] = acc
 
 
 def time_variant(dt, rows=16, kc=4096, reps=32, tiles=2048, n=5):
