@@ -114,6 +114,54 @@ def _qshape(s, u, S):
     return q + jnp.where(center, S - b, 0.0)
 
 
+def _qshape_sparse(x0, off: float, n_rows: int, g: int, S, order: int):
+    """Sparse evaluation of the quantized shape matrix — the [n_rows, KC]
+    result of ``_qshape(_shape_vals(u), u, S)`` with u = (x0 - cx) - off,
+    computed from TSC's 3-row support instead of densely.
+
+    The dense pipeline costs ~15 VPU row-ops per window row (polynomial
+    + round + halving tree + center fold) on matrices where only 3 of
+    n_rows rows are nonzero.  Here the two OUTER support values are
+    evaluated on [1, KC] (same per-row expressions, same operation
+    association as the dense rows, so the values are bit-identical), the
+    CENTER value is the partition fold made algebraic — qc = S - qm - qp,
+    exactly what the dense fold reduces to, in exact small-integer f32
+    arithmetic — and the expansion back to [n_rows, KC] is one iota
+    subtract + a 3-way select chain (~7 row-ops).  sum_rows q == S by
+    construction.
+
+    Bit-compat caveats (tests/test_pallas_kernel.py::test_qshape_sparse):
+    * center choice: floor(x0 + 0.5) (resp. floor(x0) at off = 0.5) can
+      disagree with the dense center predicate only when x0 sits within
+      one ulp of a half-integer AND the additions round across it —
+      measure-zero for physics data; both variants remain exact
+      partitions of S.
+    * support truncated by the window edge (center row at 0 or
+      n_rows - 1): dense folds the off-window share into the center,
+      this version drops it — such particles already leak current off
+      the J window (guard sizing forbids them; Deck.validate).
+    order == 2 (TSC) only — CIC callers keep the dense path."""
+    if off == 0.0:
+        c = jnp.floor(x0 + 0.5)
+    else:
+        c = jnp.floor(x0)  # off == 0.5: u = (x0 - cx) - 0.5 in [-0.5, 0.5)
+    tm = x0 - (c - 1.0)
+    tp = x0 - (c + 1.0)
+    if off != 0.0:
+        tm = tm - off
+        tp = tp - off
+    qm = jnp.round(_shape_vals(tm, order) * S)
+    qp = jnp.round(_shape_vals(tp, order) * S)
+    qc = (S - qm) - qp
+    r = jax.lax.broadcasted_iota(jnp.int32, (n_rows, 1), 0).astype(
+        jnp.float32)
+    d = r - (c + float(g))
+    return jnp.where(
+        d == -1.0, qm,
+        jnp.where(d == 0.0, qc,
+                  jnp.where(d == 1.0, qp, jnp.zeros_like(d))))
+
+
 def _dot_ss_wsplit(a, b):
     """The deposit contraction as ONE DEFAULT-precision dot: both operands
     split into exact bf16 words, the six significant word-pair products
@@ -147,7 +195,6 @@ def _kernel(
     tiles_per_block: int = 1,
     ablate: str = "",  # perf instrumentation (scripts/ablate_advance.py)
     interp_exact: bool = False,
-    qeval16: bool = False,
 ):
     abl = frozenset(ablate.split(",")) if ablate else frozenset()
     nf = 1 if fused_gather else 2
@@ -178,7 +225,6 @@ def _kernel(
             gather_mode=gather_mode, gather_prec=gather_prec,
             deposit_mode=deposit_mode, red_mode=red_mode,
             body_sub=body_sub, abl=abl, interp_exact=interp_exact,
-            qeval16=qeval16,
         )
 
 
@@ -186,7 +232,7 @@ def _process_tile(
     ti, t, k, counts_ref, ox_ref, oy_ref, f_refs, p_refs, o_refs, j_refs,
     *, nxt, nyt, g, order, qm, q, dt, dx, dy, kc,
     fused_gather, wrap, grid, gather_mode, gather_prec, deposit_mode,
-    red_mode, body_sub, abl, interp_exact=False, qeval16=False,
+    red_mode, body_sub, abl, interp_exact=False,
 ):
     x_ref, y_ref, px_ref, py_ref, pz_ref, w_ref = p_refs
     xo_ref, yo_ref, pxo_ref, pyo_ref, pzo_ref = o_refs
@@ -222,7 +268,7 @@ def _process_tile(
                 dy=dy, fused_gather=fused_gather, wrap=wrap, grid=grid,
                 gather_mode=gather_mode, gather_prec=gather_prec,
                 deposit_mode=deposit_mode, red_mode=red_mode, abl=abl,
-                interp_exact=interp_exact, qeval16=qeval16,
+                interp_exact=interp_exact,
             )
             outs.append(o[:5])
             j_acc = o[5:8] if j_acc is None else tuple(
@@ -253,7 +299,7 @@ def _sub_chunk(
     x, y, px, py, pz, qw, wgt, f_refs, ox_s, oy_s, kc,
     *, nxt, nyt, g, order, qm, dt, dx, dy,
     fused_gather, wrap, grid, gather_mode, gather_prec, deposit_mode,
-    red_mode, abl, interp_exact=False, qeval16=False,
+    red_mode, abl, interp_exact=False,
 ):
     """One lane-slice of the fused pipeline; returns
     (x', y', px', py', pz', jx, jy, jz) with J as [nyg/ nxg] window
@@ -279,57 +325,16 @@ def _sub_chunk(
         cx = jax.lax.broadcasted_iota(jnp.int32, (nxg, 1), 0).astype(jnp.float32) - g
         cy = jax.lax.broadcasted_iota(jnp.int32, (nyg, 1), 0).astype(jnp.float32) - g
 
-        if qeval16:
-            # bf16 polynomial evaluation — legal ONLY in the quantized
-            # (int8) pipeline, where every shape value is about to be
-            # rounded to a 1/S quantum anyway: within the support
-            # (|u| <= 1.5) bf16's relative 2^-8 costs <= ~0.8 quanta of
-            # deterministic perturbation (a slightly different but still
-            # partition-folded assignment function, identical on the
-            # force and current sides); outside the support the shape is
-            # 0 regardless of bf16's coarser |u| resolution.  Pays only
-            # if the VPU runs packed bf16 at 2x (scripts/exp_vpu.py).
-            # Mosaic on v5e rejects bf16 cmpf ("Target does not support
-            # this comparison", measured docs/R4_BATCH.log) — so the
-            # support selects compare the ORIGINAL f32 |u| and only the
-            # polynomial arithmetic runs packed bf16.
-            def _sv(u):
-                au = jnp.abs(u)
-                m_in = au <= 0.5
-                m_out = au <= 1.5
-                ab = au.astype(jnp.bfloat16)
-                inner = 0.75 - ab * ab
-                outer = 0.5 * (1.5 - ab) ** 2
-                z = jnp.zeros_like(outer)
-                if order == 1:
-                    lin = jnp.maximum(
-                        jnp.bfloat16(0.0), 1.0 - ab)
-                    return lin.astype(jnp.float32)
-                return jnp.where(m_in, inner,
-                                 jnp.where(m_out, outer, z)).astype(
-                    jnp.float32)
-        else:
-            def _sv(u):
-                return _shape_vals(u, order)
-        if "evals" in abl:
-            # Stand-in keeps the data dependence without the polynomial.
-            # (A [nxg, 1] zeros + [1, KC] two-sided broadcast SIGABRTed
-            # Mosaic: "limits[i] <= dim(i) (2 vs. 1)" — broadcast_to
-            # lowers cleanly.)
-            sx_i = jnp.broadcast_to(xi, (nxg, xi.shape[1]))
-            sy_i = jnp.broadcast_to(eta, (nyg, eta.shape[1]))
-        else:
-            sx_i = _sv(xi - cx)  # [nxg, KC]
-            sy_i = _sv(eta - cy)  # [nyg, KC]
-        if "stagger-evals" in abl:
-            sx_h, sy_h = sx_i, sy_i
-        else:
-            sx_h = _sv(xi - cx - 0.5)
-            sy_h = _sv(eta - cy - 0.5)
-
-        # Matched shape quantization (gather side).  qx_i/qy_i are shared
-        # with the int8 deposit's s0 endpoints — one qshape evaluation
-        # serves both, which is exactly the consistency the physics needs.
+        # NEGATIVE RESULT (docs/R4_BATCH.log, scripts/exp_vpu.py): bf16
+        # polynomial evaluation was tried for the quant pipeline and the
+        # VPU ran it at 0.86x f32 (no 2x lane packing on v5e; bf16 cmpf
+        # is not even lowerable).  The eval cost is attacked structurally
+        # instead — _qshape_sparse above.
+        def _sv(u):
+            return _shape_vals(u, order)
+        # Matched shape quantization.  qx_i/qy_i are shared with the int8
+        # deposit's s0 endpoints — one qshape evaluation serves both,
+        # which is exactly the consistency the physics needs.
         S = qshape_scale(order)
         if "qshape" in abl:  # perf attribution: scale without round/fold
             def _qs(sv, u):
@@ -337,20 +342,56 @@ def _sub_chunk(
         else:
             def _qs(sv, u):
                 return _qshape(sv, u, S)
+        # Full matched-quantization pipeline at TSC: the dense f32 shape
+        # matrices feed ONLY the quantizer, so the sparse 3-row evaluator
+        # replaces dense eval + round/tree/fold outright (bit-identical
+        # values, ~7 vs ~15 VPU row-ops — see _qshape_sparse).  The
+        # qshape/evals ablations force the dense path so they keep
+        # measuring the dense alternative.
+        sparse_q = (order == 2 and deposit_mode == "int8"
+                    and gather_mode == "quant"
+                    and "qshape" not in abl and "evals" not in abl)
+        sx_i = sy_i = sx_h = sy_h = None
+        if not sparse_q:
+            if "evals" in abl:
+                # Stand-in keeps the data dependence without the
+                # polynomial.  (A [nxg, 1] zeros + [1, KC] two-sided
+                # broadcast SIGABRTed Mosaic: "limits[i] <= dim(i)
+                # (2 vs. 1)" — broadcast_to lowers cleanly.)
+                sx_i = jnp.broadcast_to(xi, (nxg, xi.shape[1]))
+                sy_i = jnp.broadcast_to(eta, (nyg, eta.shape[1]))
+            else:
+                sx_i = _sv(xi - cx)  # [nxg, KC]
+                sy_i = _sv(eta - cy)  # [nyg, KC]
+            if "stagger-evals" in abl:
+                sx_h, sy_h = sx_i, sy_i
+            else:
+                sx_h = _sv(xi - cx - 0.5)
+                sy_h = _sv(eta - cy - 0.5)
         qx_i = qy_i = qx_h = qy_h = None
-        if gather_mode == "quant" or deposit_mode == "int8":
-            qx_i = _qs(sx_i, xi - cx)
-            qy_i = _qs(sy_i, eta - cy)
-        if gather_mode == "quant":
-            qx_h = _qs(sx_h, xi - cx - 0.5)
-            qy_h = _qs(sy_h, eta - cy - 0.5)
+        if sparse_q:
+            qx_i = _qshape_sparse(xi, 0.0, nxg, g, S, order)
+            qy_i = _qshape_sparse(eta, 0.0, nyg, g, S, order)
+            if "stagger-evals" in abl:
+                qx_h, qy_h = qx_i, qy_i
+            else:
+                qx_h = _qshape_sparse(xi, 0.5, nxg, g, S, order)
+                qy_h = _qshape_sparse(eta, 0.5, nyg, g, S, order)
+        else:
+            if gather_mode == "quant" or deposit_mode == "int8":
+                qx_i = _qs(sx_i, xi - cx)
+                qy_i = _qs(sy_i, eta - cy)
+            if gather_mode == "quant":
+                qx_h = _qs(sx_h, xi - cx - 0.5)
+                qy_h = _qs(sy_h, eta - cy - 0.5)
 
         if fused_gather:
             # Both stagger classes in ONE dot: the caller stacks the six
             # field windows block-diagonally ([6nyg, 2nxg], fits the
             # 128x128 array when 6nyg <= 128), so one column stream per
             # particle gathers all six components.
-            rhs = jnp.concatenate([sx_h, sx_i], axis=0)  # [2nxg, KC]
+            rhs = (None if sparse_q
+                   else jnp.concatenate([sx_h, sx_i], axis=0))  # [2nxg, KC]
             if gather_mode == "fast":
                 m = _dot_f_s(f_refs[0][...], rhs, jax.lax.Precision.DEFAULT)
             elif gather_mode == "quant":
@@ -567,8 +608,9 @@ def _sub_chunk(
                     (xi1 + (gnx - nxt) * 0.5) * (1.0 / gnx))
                 eta1 = eta1 - gny * jnp.floor(
                     (eta1 + (gny - nyt) * 0.5) * (1.0 / gny))
-            s1x = _sv(xi1 - cx)
-            s1y = _sv(eta1 - cy)
+            if not sparse_q:  # int8+sparse needs only the quantized s1
+                s1x = _sv(xi1 - cx)
+                s1y = _sv(eta1 - cy)
         vz = pzn * gn
         cz = qw * vz * (1.0 / (dx * dy))
 
@@ -636,20 +678,51 @@ def _sub_chunk(
             #   quantized gather used — force and current sides see one
             #   assignment function (no self-force from shape mismatch).
             zm = jnp.where(wgt > 0, 1.0, 0.0)
+            if sparse_q:
+                if "esirkepov" in abl:
+                    q1y_r, q1x_r = qy_i, qx_i
+                else:
+                    q1y_r = _qshape_sparse(eta1, 0.0, nyg, g, S, order)
+                    q1x_r = _qshape_sparse(xi1, 0.0, nxg, g, S, order)
+            else:
+                q1y_r = _qs(s1y, eta1 - cy)
+                q1x_r = _qs(s1x, xi1 - cx)
             q0y = qy_i * zm
-            q1y = _qs(s1y, eta1 - cy) * zm
+            q1y = q1y_r * zm
             q0x = qx_i
-            q1x = _qs(s1x, xi1 - cx)
+            q1x = q1x_r
+            ly = (q0y + q1y, q1y - q0y)  # 2 x [nyg, KC]
+            rx = (q1x - q0x, q0x + q1x)  # 2 x [nxg, KC]
+            # K-fold MXU packing: the unfolded [2nyg, 2nxg] = [32, 32]
+            # output tile uses 6% of the 128x128 array, so the dot is
+            # array-utilization bound.  Stack `fold` K-slices of the two
+            # operand rows onto M (resp. N): output [2*fold*nyg,
+            # 2*fold*nxg] in 1/fold the stream slots; the `fold` diagonal
+            # blocks are the K-partial sums, added back in int32 — exact,
+            # same ring.  (Same idea as deposit_mode='kfold' for the f32
+            # path; int8's tiny output makes it pay much harder.)
+            fold = 1
+            for f_ in (4, 2):
+                if kc % f_ == 0 and 2 * f_ * nyg <= 128 \
+                        and 2 * f_ * nxg <= 128:
+                    fold = f_
+                    break
+            kq = kc // fold
+            sl = [slice(i * kq, (i + 1) * kq) for i in range(fold)]
             lhs8 = jnp.concatenate(
-                [q0y + q1y, q1y - q0y], axis=0
-            ).astype(jnp.int8)  # [2nyg, KC]
+                [p_[:, s] for s in sl for p_ in ly], axis=0
+            ).astype(jnp.int8)  # [2*fold*nyg, KC/fold]
             rhs8 = jnp.concatenate(
-                [q1x - q0x, q0x + q1x], axis=0
-            ).astype(jnp.int8)  # [2nxg, KC]
-            d8 = jax.lax.dot_general(
+                [p_[:, s] for s in sl for p_ in rx], axis=0
+            ).astype(jnp.int8)  # [2*fold*nxg, KC/fold]
+            d8f = jax.lax.dot_general(
                 lhs8, rhs8, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
-            )  # [2nyg, 2nxg] int32, exact
+            )  # [2*fold*nyg, 2*fold*nxg] int32, exact
+            d8 = d8f[: 2 * nyg, : 2 * nxg]
+            for i in range(1, fold):
+                d8 = d8 + d8f[2 * nyg * i : 2 * nyg * (i + 1),
+                              2 * nxg * i : 2 * nxg * (i + 1)]
             # The uniform q*w factor is applied OUTSIDE the kernel from
             # the runtime state (q * max(w)) — a static deck-derived
             # value silently breaks when a seed_state rescales weights
@@ -667,22 +740,30 @@ def _sub_chunk(
             # Operands are built from the SAME quantized shapes as jx/jy
             # (1/S^2 folded into the cz factor).
             czq = cz * (1.0 / (S * S))
-            lz = jnp.concatenate([q0y * czq, (q1y - q0y) * czq], axis=0)
-            rz = jnp.concatenate(
-                [0.5 * (q0x + q1x),
-                 0.5 * q0x + (1.0 / 3.0) * (q1x - q0x)], axis=0
-            )
+            lzp = (q0y * czq, (q1y - q0y) * czq)
+            rzp = (0.5 * (q0x + q1x),
+                   0.5 * q0x + (1.0 / 3.0) * (q1x - q0x))
+            # Same K-fold as the int8 dot (f32 partial-sum adds — the
+            # accumulator's own reassociation, DEFAULT standard).
+            lz = jnp.concatenate([p_[:, s] for s in sl for p_ in lzp],
+                                 axis=0)
+            rz = jnp.concatenate([p_[:, s] for s in sl for p_ in rzp],
+                                 axis=0)
             if not interp_exact:
                 # DEFAULT rounds to bf16 at the MXU anyway; pre-casting
                 # halves the VMEM operand stream (the measured bound).
                 lz = lz.astype(jnp.bfloat16)
                 rz = rz.astype(jnp.bfloat16)
-            dz = jax.lax.dot_general(
+            dzf = jax.lax.dot_general(
                 lz, rz, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=(jax.lax.Precision.HIGHEST if interp_exact
                            else jax.lax.Precision.DEFAULT),
             )
+            dz = dzf[: 2 * nyg, : 2 * nxg]
+            for i in range(1, fold):
+                dz = dz + dzf[2 * nyg * i : 2 * nyg * (i + 1),
+                              2 * nxg * i : 2 * nxg * (i + 1)]
             jz = dz[:nyg, :nxg] + dz[nyg:, nxg:]
         elif deposit_mode == "kfold" and 8 * nyg <= 128 and 6 * nxg <= 128 \
                 and kc % 2 == 0:
@@ -848,8 +929,6 @@ def fused_push_deposit(
         gather_precision = "exact"
     # bf16 shape-polynomial evaluation: quant pipeline only (see the
     # in-kernel comment); experiment knob pending the VPU probe.
-    qeval16 = (deposit_mode == "int8" and not interpret
-               and _os.environ.get("MINIPIC_QEVAL", "") == "bf16")
 
     # Gather-reduction layout: "ytree" interleaves the field-stack rows as
     # y*8+c so the y-sum's halving tree is sublane-aligned at every level
@@ -882,7 +961,7 @@ def fused_push_deposit(
         fused_gather=fused_gather, wrap=wrap, grid=grid, ablate=ablate,
         deposit_mode=deposit_mode, red_mode=red_mode,
         body_sub=body_sub, tiles_per_block=tp,
-        interp_exact=interpret, qeval16=qeval16,
+        interp_exact=interpret,
         gather_mode=gather_precision,
         # The split (non-fused) path has no word-stacked layout; Mosaic
         # supports only DEFAULT/HIGHEST there.

@@ -147,6 +147,37 @@ def test_kernel_disp_matches_momentum_bound():
     np.testing.assert_allclose(float(disp), float(ref), rtol=1e-5)
 
 
+def test_qshape_sparse_matches_dense():
+    """The sparse 3-row quantized-shape evaluator is bit-identical to the
+    dense eval + round/tree/fold it replaces (both stagger classes),
+    including half-integer positions and window-interior extremes."""
+    from minipic_tpu.ops.pallas.ppd_kernel import (
+        _qshape, _qshape_sparse, _shape_vals, qshape_scale,
+    )
+
+    nxg, g, order = 16, 4, 2
+    S = qshape_scale(order)
+    key = jax.random.PRNGKey(7)
+    # positions across the valid window interior (support fully inside),
+    # plus exact half-integers and near-ulp neighbors of them
+    base = jax.random.uniform(key, (1, 4096), minval=-2.5, maxval=10.5)
+    halves = jnp.arange(-2.0, 10.5, 0.5, dtype=jnp.float32)
+    adv = jnp.concatenate([halves, jnp.nextafter(halves, 100.0),
+                           jnp.nextafter(halves, -100.0)])
+    x0 = jnp.concatenate([base, adv.reshape(1, -1)], axis=1)
+    cx = jnp.arange(nxg, dtype=jnp.float32).reshape(nxg, 1) - g
+    for off in (0.0, 0.5):
+        u = (x0 - cx) - off if off else x0 - cx
+        dense = _qshape(_shape_vals(u, order), u, S)
+        sparse = _qshape_sparse(x0, off, nxg, g, S, order)
+        np.testing.assert_array_equal(
+            np.asarray(sparse), np.asarray(dense), err_msg=f"off={off}")
+        # partition of unity in the quantized ring
+        np.testing.assert_array_equal(
+            np.asarray(jnp.sum(sparse, axis=0)),
+            np.full(x0.shape[1], S, np.float32))
+
+
 @pytest.mark.parametrize("order", [1, 2])
 def test_int8_deposit_continuity_and_amplitude(order):
     """int8 matched-quantization deposit (with its quantized-consistent
