@@ -23,15 +23,21 @@ _PROBE_SRC = (
 )
 
 
-def probe_backend(deadline_s: float = 90.0) -> bool:
+def probe_backend(deadline_s: float = 240.0) -> bool:
     """Fail-fast backend health check (round-3 lesson: a dead axon tunnel
     turned the rung ladder into a 25-minute rc=124 with no record).
 
     Runs a tiny jitted matmul in a CHILD process with a hard deadline —
     backend-init hangs can't be interrupted in-process.  Returns False if
     the backend is down; the caller emits a structured
-    ``backend-unavailable`` JSON line and exits nonzero in <2 min instead
-    of grinding the fallback ladder against a dead tunnel.
+    ``backend-unavailable`` JSON line and exits nonzero in a few minutes
+    instead of grinding the fallback ladder against a dead tunnel.
+
+    Deadline calibration: a HEALTHY idle tunnel takes ~37 s to init the
+    backend, and >90 s right after a heavy stage released the chip — the
+    original 90 s deadline spuriously skipped four stages of the r4 batch
+    (docs/R4_BATCH.log "SKIPPED"/exit-2 entries).  240 s is still far
+    under the 25-minute rc=124 this probe exists to prevent.
     """
     try:
         r = subprocess.run(
@@ -174,7 +180,7 @@ def main():
             return
         except Exception as e:
             err = e
-            if not _is_oom(e) and not probe_backend(60.0):
+            if not _is_oom(e) and not probe_backend():
                 # The backend died mid-ladder (round-3 mode: tunnel drop
                 # surfaces as "Unable to initialize backend") — record it
                 # honestly instead of burning the remaining rungs.
