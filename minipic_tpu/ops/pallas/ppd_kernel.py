@@ -703,8 +703,11 @@ def _sub_chunk(
             # path; int8's tiny output makes it pay much harder.)
             fold = 1
             for f_ in (4, 2):
-                if kc % f_ == 0 and 2 * f_ * nyg <= 128 \
-                        and 2 * f_ * nxg <= 128:
+                # kc/f_ must stay lane-aligned: Mosaic rejects
+                # tpu.concatenate over slices at mixed lane offsets
+                # ("result/input offset mismatch on non-concat dim").
+                if (kc // f_) % 128 == 0 and kc % f_ == 0 \
+                        and 2 * f_ * nyg <= 128 and 2 * f_ * nxg <= 128:
                     fold = f_
                     break
             kq = kc // fold

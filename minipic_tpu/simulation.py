@@ -597,9 +597,12 @@ class Simulation:
         self.deck = deck
         tiling = deck.tiling
         cap = deck.capacity()
-        # Buckets stay kchunk-aligned (or lane-aligned for whole-bucket
-        # chunks: the re-bin kernels slice in 128-lane blocks).
-        q = deck.kchunk if deck.kchunk > 0 else 128
+        # Buckets stay kchunk-aligned (or 512-aligned for whole-bucket
+        # chunks: the re-bin kernels slice in 128-lane blocks, and the
+        # int8 deposit's 4-way K-fold needs kc/4 lane-aligned — Mosaic
+        # rejects tpu.concatenate of mixed-lane-offset slices; <=1.4%
+        # extra slots).
+        q = deck.kchunk if deck.kchunk > 0 else 512
         if cap % q:
             cap = -(-cap // q) * q
         key = jax.random.PRNGKey(seed)
@@ -645,10 +648,10 @@ class Simulation:
             new_cap = mgr.plan(census(p), overflow)
             if new_cap is None:
                 continue
-            # Same alignment rule as __init__: kchunk multiple, or 128
-            # lanes for whole-bucket mode (the re-bin kernels slice in
-            # 128-lane blocks and reject unaligned capacities).
-            q = self.deck.kchunk if self.deck.kchunk > 0 else 128
+            # Same alignment rule as __init__: kchunk multiple, or 512
+            # lanes for whole-bucket mode (re-bin kernels slice 128-lane
+            # blocks; the int8 K-fold needs kc/4 lane-aligned).
+            q = self.deck.kchunk if self.deck.kchunk > 0 else 512
             cap = -(-new_cap // q) * q
             if cap > p.capacity:
                 species[i] = with_capacity(p, cap)
