@@ -35,17 +35,20 @@ def timeit(fn, *args, n=3, warmup=1):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--tile", type=int, default=16)
+    # Defaults = the HEADLINE bench deck (bench.py): 8x8 tiles, guard 4,
+    # whole-bucket chunks, TSC, int8 matched-quantization deposit.
+    ap.add_argument("--tile", type=int, default=8)
     ap.add_argument("--guard", type=int, default=4)
     ap.add_argument("--rebin", type=int, default=8)
-    ap.add_argument("--kchunk", type=int, default=4096)
+    ap.add_argument("--kchunk", type=int, default=0)
     ap.add_argument("--particles", type=float, default=1e8)
     ap.add_argument("--grid", type=int, default=512)
-    ap.add_argument("--mover", type=int, default=4096)
+    ap.add_argument("--mover", type=int, default=0)
     ap.add_argument("--headroom", type=float, default=1.1)
     ap.add_argument("--gather", default="exact")
+    ap.add_argument("--deposit", default="int8")
     ap.add_argument("--steps", type=int, default=8)
-    ap.add_argument("--order", type=int, default=1)
+    ap.add_argument("--order", type=int, default=2)
     args = ap.parse_args()
 
     from minipic_tpu.core.config import Deck, SpeciesSpec
@@ -66,8 +69,10 @@ def main():
         species=(SpeciesSpec("ele", charge=-1.0, mass=1.0, ppc=ppc, uth=0.05,
                              shape_order=args.order),),
         precision="f32", rebin_interval=args.rebin,
-        capacity_headroom=args.headroom, mover_capacity=args.mover,
+        capacity_headroom=args.headroom,
+        mover_capacity=(args.mover if args.mover > 0 else None),
         kchunk=args.kchunk, gather_precision=args.gather,
+        deposit=args.deposit,
     )
     sim = Simulation(deck)
     state = sim.state
@@ -102,10 +107,15 @@ def main():
             dt=deck.dt, dx=deck.dx, dy=deck.dy, kchunk=deck.kchunk,
             backend=backend, interpret=interpret,
             gather_precision=deck.gather_precision,
+            deposit_mode=deck.deposit,
+            # uniform q*w so the int8 path engages (simulation.py gate)
+            qw0=spec.charge * deck.dx * deck.dy / spec.ppc,
+            wrap=(deck.nx, deck.ny), grid=(deck.nx, deck.ny),
+            return_disp=True,  # the drift-trigger step requests this
         )
 
     t_advance = timeit(stage_advance, p, ftiles); print(f"advance       {t_advance*1e3:9.1f} ms", flush=True)
-    pnew, (jx, jy, jz) = stage_advance(p, ftiles)
+    pnew, (jx, jy, jz), _disp = stage_advance(p, ftiles)
 
     # --- stage: fold J + yee x3 ---
     @jax.jit
