@@ -321,13 +321,14 @@ def _tile_rc(t_total, tile_rows, tile_cols, row0, col0, force, tile_ids=None):
 
 
 def _wsplit_default(wsplit):
-    # Default ON: measured on v5e at 1e8 slots, the word-split permute
-    # takes the split kernel 527 -> 421 ms at kc=256 (and 730 -> 622 at
-    # kc=128); exactness is unconditional (see _permute_dot).
-    # MINIPIC_REBIN_WSPLIT=int8 selects the byte-transport permute
-    # (exact, ~1/6 the permute MXU cycles; see _permute_dot).
+    # Default: the byte-transport permute ("int8") — bit-exact selection
+    # incl. NaN/inf (tests/test_deal_route.py), measured fastest on v5e
+    # at 1e8 slots (docs/R4_BATCH.log part A: deal total 467 ms vs 544
+    # for the 3-word bf16 stack; split kernel alone 343 vs 418).  The
+    # bf16 word stack ("1", the round-3 default: 527 -> 421 ms over
+    # f32-HIGHEST at kc=256) and HIGHEST ("0") stay as knobs.
     if wsplit is None:
-        v = os.environ.get("MINIPIC_REBIN_WSPLIT", "1")
+        v = os.environ.get("MINIPIC_REBIN_WSPLIT", "int8")
         return "int8" if v == "int8" else v == "1"
     return wsplit
 
