@@ -66,11 +66,12 @@ def main():
     t_compile0 = time.perf_counter()
     for _ in range(args.chunk):
         diag = sim.step()
-    sim.ensure_capacity(int(diag.overflow))
+    retraced = sim.ensure_capacity(int(diag.overflow))
+    seen_shift = int(sim.state.window_x0) > 0
     sync()
     compile_s = time.perf_counter() - t_compile0
 
-    chunks = []  # (steps, n_shifts, wall_s)
+    chunks = []  # (steps, n_shifts, wall_s, tainted)
     done = args.chunk
     t_all0 = time.perf_counter()
     while done < args.steps:
@@ -83,18 +84,30 @@ def main():
         dt_wall = time.perf_counter() - t0
         w1 = int(sim.state.window_x0)
         n_shifts = (w1 - w0) // deck.tiling.tile_nx
-        chunks.append((n, n_shifts, dt_wall))
-        sim.ensure_capacity(int(diag.overflow))
+        # A chunk right after a capacity growth pays a full step retrace
+        # (minutes over the axon tunnel), and the first chunk containing a
+        # shift pays the shift-step compile: both are one-time compile
+        # costs, not per-step physics — taint them out of the fit (the
+        # round-3 artifact smeared one ~230 s retrace into a negative
+        # base and 7.8 s/shift; docs/R4_BATCH.log 15:36).
+        tainted = retraced or (n_shifts > 0 and not seen_shift)
+        seen_shift = seen_shift or n_shifts > 0
+        chunks.append((n, n_shifts, dt_wall, tainted))
+        retraced = sim.ensure_capacity(int(diag.overflow))
         done += n
     wall_run = time.perf_counter() - t_all0
 
-    # Least-squares split: wall = base_ms*steps + shift_ms*shifts.
-    A = np.array([[c[0], c[1]] for c in chunks], dtype=np.float64)
-    b = np.array([c[2] for c in chunks]) * 1e3
-    if len(chunks) >= 2 and A[:, 1].max() > 0:
+    # Least-squares split over clean chunks: wall = base*steps + shift*shifts.
+    clean = [c for c in chunks if not c[3]]
+    A = np.array([[c[0], c[1]] for c in clean], dtype=np.float64)
+    b = np.array([c[2] for c in clean]) * 1e3
+    if len(clean) >= 2 and A[:, 1].max() > 0:
         (base_ms, shift_ms), *_ = np.linalg.lstsq(A, b, rcond=None)
-    else:
+    elif len(clean) >= 1:
         base_ms, shift_ms = (b.sum() / max(1, A[:, 0].sum()), float("nan"))
+    else:
+        base_ms, shift_ms = float("nan"), float("nan")
+    retrace_wall_s = sum(c[2] for c in chunks if c[3])
 
     f = sim.state.fields
     ex = np.asarray(f.ex)
@@ -115,6 +128,8 @@ def main():
         "ms_per_step_base": round(float(base_ms), 2),
         "ms_per_shift_step_extra": round(float(shift_ms), 2),
         "n_shift_steps": int(sum(c[1] for c in chunks)),
+        "retrace_chunks": int(sum(1 for c in chunks if c[3])),
+        "retrace_wall_s": round(retrace_wall_s, 1),
         "live": live,
         "deposit": deck.deposit,
         "ex_wake_max": float(np.abs(ex).max()),
