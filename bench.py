@@ -153,6 +153,7 @@ def main():
         rungs.append((target_particles, "highest"))
         rungs.append((target_particles / 2, "highest"))
     int8_broken = False
+    sim = multi = state0 = state = None
     for n_try, dep_mode in rungs:
         if int8_broken and dep_mode == "int8":
             continue  # a lowering failure is size-independent; skip to f32
@@ -180,6 +181,14 @@ def main():
             return
         except Exception as e:
             err = e
+            # Drop the failed rung's device buffers AND the jit cache
+            # before the next rung: a failed attempt's state/executables
+            # otherwise stay referenced in-process and every later rung
+            # inherits the pressure (batch-E log 20:38-20:48: one 1e8
+            # OOM cascaded down to 1e7 in the same process while a
+            # fresh process allocated 8 GB without trouble).
+            sim = multi = state0 = state = None
+            jax.clear_caches()
             if not _is_oom(e) and not probe_backend():
                 # The backend died mid-ladder (round-3 mode: tunnel drop
                 # surfaces as "Unable to initialize backend") — record it
