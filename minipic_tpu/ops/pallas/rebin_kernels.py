@@ -418,7 +418,7 @@ def _split_kernel(
     *,
     tile_nx: int, tile_ny: int, tile_cols: int, tile_rows: int,
     kc: int, n_chunks: int, b_cap: int, cap: int, n_tiles: int,
-    wsplit: bool = True,
+    wsplit: bool = True, combined: bool = True,
 ):
     """Stable split of one bucket in a single streaming pass: stayers
     compacted live-first IN PLACE (via aliasing), movers compacted into
@@ -430,7 +430,15 @@ def _split_kernel(
     All-or-nothing per tile like _extract_kernel: a tile whose movers
     exceed the buffer passes through untouched (pending counted) unless
     forced.  Stats in mov_ref channel 6: lane 0 = stay count (the new
-    watermark), lane 1 = pending/dropped."""
+    watermark), lane 1 = pending/dropped.
+
+    combined=True (default): stayers and movers ride ONE permutation per
+    chunk — stayers rank left-stable, movers right-REVERSE-stable (mover
+    order is physics-irrelevant and deterministic either way), so each
+    chunk costs one [2,kc] rank dot on the stacked masks, one p_mat
+    build, and one transport dot of the 6-channel payload, vs two of
+    each (6ch + 8ch) on the two-compact path (combined=False, env
+    MINIPIC_SPLIT_COMBINED=0 for the on-chip A/B)."""
     t = pl.program_id(0)
     my_row = rc_ref[t].astype(jnp.float32)
     my_col = rc_ref[n_tiles + t].astype(jnp.float32)
@@ -481,6 +489,39 @@ def _split_kernel(
             )
             return cnt, cpad
 
+        lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, kc), 1)
+
+        def partition(staying, moving, payload6):
+            """One-permutation stable partition: stayers -> columns
+            [0, s_cnt) in order, movers -> [kc-m_cnt, kc) in REVERSE
+            order (inclusive mover rank r lands at kc-r).  Both class
+            ranks come from one [2,kc] dot on the stacked masks; dead
+            lanes never enter p_mat, so transport stays pure selection
+            (exact for the int8 byte mode, NaN/inf included)."""
+            mf2 = jnp.concatenate(
+                [staying.astype(jnp.float32), moving.astype(jnp.float32)],
+                axis=0)
+            rank2 = jax.lax.dot_general(
+                mf2, tri, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=rank_prec,
+            )  # [2, kc] inclusive class cumsums
+            s_cnt = rank2[0, kc - 1].astype(jnp.int32)
+            m_cnt = rank2[1, kc - 1].astype(jnp.int32)
+            dest = jnp.where(staying, rank2[0:1] - 1.0,
+                             jnp.float32(kc) - rank2[1:2])
+            p_mat = (dest == out_row.astype(jnp.float32)) & (staying | moving)
+            comp = _permute_dot(payload6, p_mat, wsplit)  # [6, kc]
+            s_comp = jnp.where(lane_row < s_cnt, comp, 0.0)
+            m_comp = pltpu.roll(comp, m_cnt, 1)  # tail wraps to the front
+            m_comp = jnp.where(lane_row < m_cnt, m_comp, 0.0)
+            s_cpad = jnp.concatenate(
+                [s_comp, jnp.zeros((6, kc), jnp.float32)], axis=1)
+            m_cpad = jnp.concatenate(
+                [jnp.concatenate(
+                    [m_comp, jnp.zeros((N_CH - 6, kc), jnp.float32)], axis=0),
+                 jnp.zeros((N_CH, kc), jnp.float32)], axis=1)
+            return s_cnt, s_cpad, m_cnt, m_cpad
+
         def body(c, carry):
             s_cur, s_pc, m_cur, m_pc, dropped = carry
             sl = pl.ds(c * kc, kc)
@@ -494,8 +535,18 @@ def _split_kernel(
             staying = alive & ~moving
             payload6 = jnp.concatenate(rows6, axis=0)  # [6, kc]
 
-            # stayers -> in-place compaction (cursor <= read point)
-            s_cnt, s_cpad = compact(staying, payload6, pend_s_ref, 6)
+            if combined:
+                s_cnt, s_cpad, m_cnt, m_cpad = partition(
+                    staying, moving, payload6)
+            else:
+                # stayers -> in-place compaction (cursor <= read point)
+                s_cnt, s_cpad = compact(staying, payload6, pend_s_ref, 6)
+                payload8 = jnp.concatenate(
+                    [payload6 * jnp.where(moving, 1.0, 0.0),
+                     jnp.zeros((2, kc), jnp.float32)], axis=0
+                )
+                m_cnt, m_cpad = compact(moving, payload8, pend_m_ref, N_CH)
+
             pend_s_ref[...] += pltpu.roll(s_cpad, s_pc, 1)
             s_pc = s_pc + s_cnt
 
@@ -513,11 +564,6 @@ def _split_kernel(
             s_pc = jnp.where(s_flush, s_pc - kc, s_pc)
 
             # movers -> outgoing buffer (N_CH channels; 6,7 spare/stats)
-            payload8 = jnp.concatenate(
-                [payload6 * jnp.where(moving, 1.0, 0.0),
-                 jnp.zeros((2, kc), jnp.float32)], axis=0
-            )
-            m_cnt, m_cpad = compact(moving, payload8, pend_m_ref, N_CH)
             pend_m_ref[...] += pltpu.roll(m_cpad, m_pc, 1)
             m_pc = m_pc + m_cnt
 
@@ -622,6 +668,7 @@ def split_buckets(
         tile_nx=tile_nx, tile_ny=tile_ny, tile_cols=tile_cols,
         tile_rows=tile_rows, kc=kc, n_chunks=cap // kc, b_cap=b_cap, cap=cap,
         n_tiles=t_total, wsplit=(False if interpret else _wsplit_default(wsplit)),
+        combined=os.environ.get("MINIPIC_SPLIT_COMBINED", "1") != "0",
     )
     pin = pl.BlockSpec((1, 1, cap), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM)
     mspec = pl.BlockSpec((1, N_CH, b_cap), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM)
