@@ -463,6 +463,13 @@ def _split_kernel(
     fits_tile = total_movers <= (b_cap // kc) * kc
     forced = rc_ref[2 * n_tiles] != 0
     extract_tile = fits_tile | forced
+    # Buckets are live-compacted (split/append invariant), so chunks past
+    # the LAST live slot hold only zero-weight padding — skip them (the
+    # tail is re-zeroed by zero_body regardless, and last-INDEX, not
+    # count, keeps this exact even for a hole-ridden custom seed_state).
+    lane_all = jax.lax.broadcasted_iota(jnp.int32, (1, n_chunks * kc), 1)
+    last_live = jnp.max(jnp.where(wf > 0, lane_all, -1)).astype(jnp.int32)
+    n_proc = jnp.minimum(jnp.int32(n_chunks), (last_live // kc) + 1)
 
     def scoped(pend_s_ref, pend_m_ref):
         pend_s_ref[...] = jnp.zeros(pend_s_ref.shape, pend_s_ref.dtype)
@@ -590,7 +597,7 @@ def _split_kernel(
 
         z = jnp.int32(0)
         s_cur, s_pc, m_cur, m_pc, dropped = jax.lax.fori_loop(
-            0, n_chunks, body, (z, z, z, z, z)
+            0, n_proc, body, (z, z, z, z, z)
         )
 
         @pl.when(s_pc > 0)
@@ -635,7 +642,7 @@ def _split_kernel(
 
 def split_buckets(
     p: ParticleState, *, tile_rows: int, tile_cols: int, tile_ny: int,
-    tile_nx: int, b_cap: int, kc: int = 256, interpret: bool = False,
+    tile_nx: int, b_cap: int, kc: int = 0, interpret: bool = False,
     row0=0, col0=0, force=False, vma_axes=(), wsplit=None, tile_ids=None,
 ):
     """One-pass stable split: returns (p with stayers compacted live-first
@@ -646,11 +653,15 @@ def split_buckets(
     bucket never develops watermark holes, so the append stage always
     fits unless census truly exceeds capacity.
 
-    kc=256 measured optimal on v5e (1e8 slots: kc 128/256/896 ->
-    622/421/545 ms with the word-split permute): bigger chunks shrink the
-    serial per-chunk carry chain faster than the O(kc)/slot permute MACs
-    grow, until MXU throughput catches up."""
+    kc=0 (default) resolves from MINIPIC_SPLIT_KC (default 256).  The
+    round-2 sweep measured 256 optimal (1e8 slots: kc 128/256/896 ->
+    622/421/545 ms with the 3-word bf16 permute and two compacts per
+    chunk); the combined partition + int8 byte transport changed the
+    per-chunk geometry (transport MXU passes scale with kc^2 per kc
+    slots), so the knob exists to re-sweep on chip."""
     t_total, cap = p.num_tiles, p.capacity
+    if kc == 0:
+        kc = int(os.environ.get("MINIPIC_SPLIT_KC", "256"))
     if cap % kc or kc > b_cap:
         for d in (128, 256, 384, 512):
             if cap % d == 0 and d <= b_cap:
