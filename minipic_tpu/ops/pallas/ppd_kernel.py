@@ -141,6 +141,21 @@ def _qshape_sparse(x0, off: float, n_rows: int, g: int, S, order: int):
       this version drops it — such particles already leak current off
       the J window (guard sizing forbids them; Deck.validate).
     order == 2 (TSC) only — CIC callers keep the dense path."""
+    qm, qc, qp, c = _qsparse_vals(x0, off, S, order)
+    r = jax.lax.broadcasted_iota(jnp.int32, (n_rows, 1), 0).astype(
+        jnp.float32)
+    d = r - (c + float(g))
+    return jnp.where(
+        d == -1.0, qm,
+        jnp.where(d == 0.0, qc,
+                  jnp.where(d == 1.0, qp, jnp.zeros_like(d))))
+
+
+def _qsparse_vals(x0, off: float, S, order: int):
+    """The three nonzero quantized TSC support values (and the center
+    cell) of _qshape_sparse, before row expansion — shared by the sparse
+    shape matrices and the ytree reduction's interleaved sy rows so both
+    see bit-identical values."""
     if off == 0.0:
         c = jnp.floor(x0 + 0.5)
     else:
@@ -153,13 +168,7 @@ def _qshape_sparse(x0, off: float, n_rows: int, g: int, S, order: int):
     qm = jnp.round(_shape_vals(tm, order) * S)
     qp = jnp.round(_shape_vals(tp, order) * S)
     qc = (S - qm) - qp
-    r = jax.lax.broadcasted_iota(jnp.int32, (n_rows, 1), 0).astype(
-        jnp.float32)
-    d = r - (c + float(g))
-    return jnp.where(
-        d == -1.0, qm,
-        jnp.where(d == 0.0, qc,
-                  jnp.where(d == 1.0, qp, jnp.zeros_like(d))))
+    return qm, qc, qp, c
 
 
 def _dot_ss_wsplit(a, b):
@@ -493,11 +502,40 @@ def _sub_chunk(
             # lower to sublane rotations, which dominated red() (~38 ms
             # of the 130 ms order-2 kernel).  The per-comp stagger-class
             # sy values are evaluated directly on the interleaved rows.
+            # Every halving level keeps c (stride is a multiple of 8), so
+            # each component's sum has the SAME association as red()'s
+            # [nyg] tree — bit-identical results, aligned lowering.
             r8 = jax.lax.broadcasted_iota(jnp.int32, (8 * nyg, 1), 0)
             yy = (r8 // 8).astype(jnp.float32) - g
             cc = r8 % 8
-            stag = jnp.where((cc == 2) | (cc == 3) | (cc == 5), 0.5, 0.0)
-            s2 = _shape_vals(eta - yy - stag, order)  # [8nyg, KC]
+            is_h = (cc == 2) | (cc == 3) | (cc == 5)
+            if gather_mode == "quant" and sparse_q:
+                # Quantized sy on the interleaved rows from the SAME
+                # sparse endpoint values the deposit uses (one assignment
+                # function on force and current sides — no self-force).
+                qmi, qci, qpi, ci_ = _qsparse_vals(eta, 0.0, S, order)
+                qmh, qch, qph, ch_ = _qsparse_vals(eta, 0.5, S, order)
+                di = yy - ci_
+                dh = yy - ch_
+                qri = jnp.where(
+                    di == -1.0, qmi,
+                    jnp.where(di == 0.0, qci,
+                              jnp.where(di == 1.0, qpi, 0.0)))
+                qrh = jnp.where(
+                    dh == -1.0, qmh,
+                    jnp.where(dh == 0.0, qch,
+                              jnp.where(dh == 1.0, qph, 0.0)))
+                s2 = jnp.where(is_h, qrh, qri)
+            elif gather_mode == "quant":
+                # Dense interleaved quantization (CIC-quant and the
+                # qshape/evals ablations): same values as the dense qy
+                # rows, evaluated per interleaved row.
+                stag = jnp.where(is_h, 0.5, 0.0)
+                u2 = eta - yy - stag
+                s2 = _qs(_shape_vals(u2, order), u2)
+            else:
+                stag = jnp.where(is_h, 0.5, 0.0)
+                s2 = _shape_vals(eta - yy - stag, order)  # [8nyg, KC]
             b = m * s2
             n = 8 * nyg
             while n > 8:
@@ -941,7 +979,6 @@ def fused_push_deposit(
         red_mode = _os.environ.get("MINIPIC_RED_MODE", "tree")
     if red_mode == "ytree" and not (
         fused_gather and 8 * nyg <= 128 and (nyg & (nyg - 1)) == 0
-        and gather_precision != "quant"
     ):
         red_mode = "tree"
     fb_rows = (8 if red_mode == "ytree" else 6) * nyg
