@@ -513,6 +513,14 @@ def _sub_chunk(
                 # Quantized sy on the interleaved rows from the SAME
                 # sparse endpoint values the deposit uses (one assignment
                 # function on force and current sides — no self-force).
+                # NEGATIVE RESULT, kept as a measured knob: in the quant
+                # pipeline ytree is 1.5x SLOWER than the per-component
+                # tree (kernel 136 vs 93 ms, bench 7.1 vs 10.1e8 at
+                # kc=512 — docs/R4_BATCH.log batch I).  The f32 win came
+                # from replacing the [8nyg,KC] dense sy eval's rotation-
+                # heavy sub-8 adds; in quant the tree path's sy is the
+                # already-cheap sparse [nyg,KC] eval, so ytree only adds
+                # the interleaved select build + a 2x-M gather dot.
                 qmi, qci, qpi, ci_ = _qsparse_vals(eta, 0.0, S, order)
                 qmh, qch, qph, ch_ = _qsparse_vals(eta, 0.5, S, order)
                 di = yy - ci_

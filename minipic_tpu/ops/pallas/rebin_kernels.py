@@ -653,17 +653,18 @@ def split_buckets(
     bucket never develops watermark holes, so the append stage always
     fits unless census truly exceeds capacity.
 
-    kc=0 (default) resolves from MINIPIC_SPLIT_KC (default 256).  The
-    round-2 sweep measured 256 optimal (1e8 slots: kc 128/256/896 ->
-    622/421/545 ms with the 3-word bf16 permute and two compacts per
-    chunk); the combined partition + int8 byte transport changed the
-    per-chunk geometry (transport MXU passes scale with kc^2 per kc
-    slots), so the knob exists to re-sweep on chip."""
+    kc=0 (default) resolves from MINIPIC_SPLIT_KC (default 512).  Swept
+    on chip TWICE: round 2 (3-word bf16 permute, two compacts/chunk)
+    measured 128/256/896 -> 622/421/545 ms, picking 256; round 4's
+    combined partition + int8 byte transport moved the optimum up —
+    128/256/512 -> 378/222/168 ms (docs/R4_BATCH.log batch H; the
+    headline crossed 1e9 at 512).  The serial per-chunk carry chain
+    dominates, so the largest chunk the buffers admit wins."""
     t_total, cap = p.num_tiles, p.capacity
     if kc == 0:
-        kc = int(os.environ.get("MINIPIC_SPLIT_KC", "256"))
+        kc = int(os.environ.get("MINIPIC_SPLIT_KC", "512"))
     if cap % kc or kc > b_cap:
-        for d in (128, 256, 384, 512):
+        for d in (512, 384, 256, 128):  # largest valid chunk wins
             if cap % d == 0 and d <= b_cap:
                 kc = d
                 break
