@@ -137,9 +137,11 @@ def main():
     grid = int(os.environ.get("BENCH_GRID", 512))
     target_particles = float(os.environ.get("BENCH_PARTICLES", 1e8))
     rebin_interval = int(os.environ.get("BENCH_REBIN", 8))
-    # 50-step window: drift-triggered re-bins fire every ~20 steps, so a
-    # 10-step window could miss the re-bin steady state entirely.
-    inner = int(os.environ.get("BENCH_STEPS", 50))
+    # 100-step window: drift-triggered re-bins fire every ~27 steps, so a
+    # 50-step window catches 1 or 2 of them depending on phase — at the
+    # 1e9 line that luck is ±1% of the headline.  100 steps (~3.7
+    # re-bins) halves the quantization noise; still ~10 s of chip time.
+    inner = int(os.environ.get("BENCH_STEPS", 100))
 
     # Rung ladder: particle-count fallbacks for HBM first (smaller
     # capacity also shrinks the whole-bucket VMEM scope), then — as the

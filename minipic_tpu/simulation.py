@@ -34,6 +34,7 @@ blocks while every inner op is a batched matmul or fused VPU elementwise.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -601,8 +602,10 @@ class Simulation:
         # chunks: the re-bin kernels slice in 128-lane blocks, and the
         # int8 deposit's 4-way K-fold needs kc/4 lane-aligned — Mosaic
         # rejects tpu.concatenate of mixed-lane-offset slices; <=1.4%
-        # extra slots).
-        q = deck.kchunk if deck.kchunk > 0 else 512
+        # extra slots).  A larger MINIPIC_SPLIT_KC raises the alignment
+        # so the split kernel's cap % kc requirement holds.
+        q = deck.kchunk if deck.kchunk > 0 else max(
+            512, int(os.environ.get("MINIPIC_SPLIT_KC", "512")))
         if cap % q:
             cap = -(-cap // q) * q
         key = jax.random.PRNGKey(seed)
@@ -651,7 +654,8 @@ class Simulation:
             # Same alignment rule as __init__: kchunk multiple, or 512
             # lanes for whole-bucket mode (re-bin kernels slice 128-lane
             # blocks; the int8 K-fold needs kc/4 lane-aligned).
-            q = self.deck.kchunk if self.deck.kchunk > 0 else 512
+            q = self.deck.kchunk if self.deck.kchunk > 0 else max(
+                512, int(os.environ.get("MINIPIC_SPLIT_KC", "512")))
             cap = -(-new_cap // q) * q
             if cap > p.capacity:
                 species[i] = with_capacity(p, cap)
