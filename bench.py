@@ -172,9 +172,12 @@ def main():
             float(state.fields.ex.sum())
             dt_wall = time.perf_counter() - t0
             pushes = n_real * inner / dt_wall
+            shp = {1: "CIC order-1", 2: "TSC order-2"}.get(
+                deck.species[0].shape_order,
+                "order-%d" % deck.species[0].shape_order)
             out = {
                 "metric": "particle-pushes/sec/chip (%.1e particles, %d^2 grid,"
-                " TSC order-2, %s deposit)" % (n_real, grid, deck.deposit),
+                " %s, %s deposit)" % (n_real, grid, shp, deck.deposit),
                 "value": pushes,
                 "unit": "pushes/s",
                 "vs_baseline": pushes / 1e9,
