@@ -74,6 +74,21 @@ class SpeciesSpec:
             self.uth if self.uth_z is None else self.uth_z,
         )
 
+    def uniform_weights(self) -> bool:
+        """True when every live macroparticle of this species carries the
+        same weight BY CONSTRUCTION — the deck-time gate for the int8
+        matched-quantization deposit (q*w must factor out of the
+        contraction).  Uniform-density loads qualify; count-mode loads
+        qualify only with a DECLARED n_max (survivor weight
+        n_max*dxdy/ppc): without one the loader derives max(n) over
+        whatever domain it evaluates, which is shard-local in sharded
+        runs — per-shard 'uniform' values that differ across shards, the
+        exact failure the runtime weight guard (weight_nonuniform)
+        exists to catch."""
+        if self.density is None:
+            return True
+        return self.load_mode == "count" and self.n_max is not None
+
 
 @dataclasses.dataclass(frozen=True)
 class Deck:
@@ -107,8 +122,11 @@ class Deck:
     # leading edge (particles/species.inject_column, keyed by the
     # absolute column so restarts are deterministic).  The reference has
     # no analogue; this is the capability its laser test case (report
-    # §4) points toward.  Requires boundary="absorbing"; single-device
-    # drivers only (Simulation), no referent in the sharded paths yet.
+    # §4) points toward.  Requires boundary="absorbing".  Supported by
+    # all three drivers: Simulation, the block-sharded step
+    # (parallel/step.py — shift predicates mesh-agreed, equivalence
+    # tested in tests/test_moving_window.py), and the striped/balanced
+    # driver (parallel/balanced.py).
     moving_window: bool = False
 
     # --- numerics / machine mapping ---

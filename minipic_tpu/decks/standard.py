@@ -53,14 +53,25 @@ def reference_pulse(nx: int = 450, ny: int = 450) -> Case:
 
 
 def two_stream(nx: int = 64, ny: int = 64, ppc: int = 16, u0: float = 0.2) -> Case:
-    """BASELINE config 1: two-stream instability, linear shapes."""
+    """BASELINE config 1: two-stream instability, TSC shapes.
+
+    Ships the measured-fast engine config (round-5: the tuned path is
+    the product default, not a bench flag): 8x8 tiles + guard 4 (the
+    only fused-single-dot-gather-eligible window, docs/ROADMAP.md),
+    whole-bucket chunks, int8 matched-quantization deposit (uniform
+    weights; TSC order 2 — the on-chip 10k-step energy-acceptance
+    config, docs/energy_tpu_10k_int8q.json)."""
     lx = 2 * math.pi * u0 / 0.45  # mode 1 near peak growth
     deck = Deck(
         box_x=lx, box_y=lx * ny / nx, nx=nx, ny=ny, tile_nx=8, tile_ny=8,
+        guard=4, kchunk=0, deposit="int8",
         species=(
-            SpeciesSpec("right", charge=-1.0, mass=1.0, ppc=ppc, ux=u0),
-            SpeciesSpec("left", charge=-1.0, mass=1.0, ppc=ppc, ux=-u0),
-            SpeciesSpec("ion", charge=+1.0, mass=1836.0, ppc=ppc),
+            SpeciesSpec("right", charge=-1.0, mass=1.0, ppc=ppc, ux=u0,
+                        shape_order=2),
+            SpeciesSpec("left", charge=-1.0, mass=1.0, ppc=ppc, ux=-u0,
+                        shape_order=2),
+            SpeciesSpec("ion", charge=+1.0, mass=1836.0, ppc=ppc,
+                        shape_order=2),
         ),
         sim_time=80.0,
     )
@@ -81,11 +92,17 @@ def weibel(nx: int = 128, ny: int = 128, ppc: int = 16, uz: float = 0.6) -> Case
     """BASELINE config 2: Weibel instability — counter-streaming along z,
     anisotropy drives in-plane magnetic filaments; check B-energy growth."""
     deck = Deck(
-        box_x=12.8, box_y=12.8, nx=nx, ny=ny, tile_nx=16, tile_ny=16,
+        # 8x8 tiles + guard 4 + whole-bucket + int8: the measured-fast
+        # engine config (fused single-dot gather; see two_stream).
+        box_x=12.8, box_y=12.8, nx=nx, ny=ny, tile_nx=8, tile_ny=8,
+        guard=4, kchunk=0, deposit="int8",
         species=(
-            SpeciesSpec("up", charge=-1.0, mass=1.0, ppc=ppc, uz=uz, uth=0.01),
-            SpeciesSpec("down", charge=-1.0, mass=1.0, ppc=ppc, uz=-uz, uth=0.01),
-            SpeciesSpec("ion", charge=+1.0, mass=1836.0, ppc=ppc),
+            SpeciesSpec("up", charge=-1.0, mass=1.0, ppc=ppc, uz=uz,
+                        uth=0.01, shape_order=2),
+            SpeciesSpec("down", charge=-1.0, mass=1.0, ppc=ppc, uz=-uz,
+                        uth=0.01, shape_order=2),
+            SpeciesSpec("ion", charge=+1.0, mass=1836.0, ppc=ppc,
+                        shape_order=2),
         ),
         sim_time=60.0,
     )
@@ -109,7 +126,10 @@ def landau(nx: int = 256, ny: int = 256, ppc: int = 16) -> Case:
     k = klam / uth  # k lambda_D = k uth / wp
     lx = 2 * math.pi / k
     deck = Deck(
-        box_x=lx, box_y=lx, nx=nx, ny=ny, tile_nx=16, tile_ny=16, guard=3,
+        # 8x8 tiles + guard 4 + whole-bucket + int8: the measured-fast
+        # engine config (fused single-dot gather; see two_stream).
+        box_x=lx, box_y=lx, nx=nx, ny=ny, tile_nx=8, tile_ny=8, guard=4,
+        kchunk=0, deposit="int8",
         species=(
             SpeciesSpec("ele", charge=-1.0, mass=1.0, ppc=ppc, uth=uth, shape_order=2),
             SpeciesSpec("ion", charge=+1.0, mass=1836.0, ppc=ppc, uth=0.0, shape_order=2),
@@ -138,7 +158,13 @@ def laser_plasma(nx: int = 512, ny: int = 512, ppc: int = 4) -> Case:
         return 0.05 * 0.5 * (1.0 + jnp.tanh((x - 15.0) / 2.0))
 
     deck = Deck(
-        box_x=box, box_y=box, nx=nx, ny=ny, tile_nx=16, tile_ny=16,
+        # Fused-gather geometry + whole-bucket chunks; stays on the
+        # f32-exact deposit — the slab is WEIGHT-loaded (graded particle
+        # weights along the ramp), so q*w does not factor out of the
+        # contraction and int8 is ineligible by design (the runtime
+        # weight guard would reject it).
+        box_x=box, box_y=box, nx=nx, ny=ny, tile_nx=8, tile_ny=8,
+        guard=4, kchunk=0,
         species=(
             SpeciesSpec("ele", charge=-1.0, mass=1.0, ppc=ppc, uth=0.01, density=slab),
             SpeciesSpec("ion", charge=+1.0, mass=1836.0, ppc=ppc, density=slab),
@@ -174,8 +200,13 @@ def load_balance_stress(nx: int = 1024, ny: int = 1024, n_particles: float = Non
     deck = Deck(
         # 8x8 tiles + guard 4: nyg=16 keeps the fused single-issue gather
         # on the 128-wide MXU tile (ppd_kernel), and the guard funds the
-        # drift-triggered re-bin budget.
+        # drift-triggered re-bin budget.  Whole-bucket chunks; f32-exact
+        # deposit ON PURPOSE: weighted loading (graded per-particle w)
+        # is this deck's stress axis, and non-uniform weights make the
+        # int8 factored-q*w deposit ineligible — the count-mode variants
+        # below are the int8-eligible stress decks.
         box_x=102.4, box_y=102.4, nx=nx, ny=ny, tile_nx=8, tile_ny=8, guard=4,
+        kchunk=0,
         species=(
             SpeciesSpec("ele", charge=-1.0, mass=1.0, ppc=ppc, uth=0.05, density=blob),
             SpeciesSpec("ion", charge=+1.0, mass=1836.0, ppc=ppc, density=blob),
@@ -201,12 +232,19 @@ def load_balance_stress_counts(nx: int = 1024, ny: int = 1024, ppc: int = 95) ->
         return 0.1 + 4.0 * jnp.exp(-r2)
 
     deck = Deck(
+        # Count-mode loading keeps every survivor at the same weight
+        # (n_max*dxdy/ppc), so the int8 matched-quantization deposit is
+        # eligible — n_max is DECLARED (blob peak 0.1 + 4.0) so the
+        # uniform value is global, not shard-local (SpeciesSpec.
+        # uniform_weights).  Whole-bucket chunks + int8: the
+        # measured-fast engine config.
         box_x=102.4, box_y=102.4, nx=nx, ny=ny, tile_nx=8, tile_ny=8, guard=4,
+        kchunk=0, deposit="int8",
         species=(
             SpeciesSpec("ele", charge=-1.0, mass=1.0, ppc=ppc, uth=0.05,
-                        density=blob, load_mode="count"),
+                        density=blob, load_mode="count", n_max=4.1),
             SpeciesSpec("ion", charge=+1.0, mass=1836.0, ppc=ppc,
-                        density=blob, load_mode="count"),
+                        density=blob, load_mode="count", n_max=4.1),
         ),
         sim_time=10.0, mesh_shape=(2, 4),
     )
@@ -228,12 +266,18 @@ def load_balance_bunching(nx: int = 512, ny: int = 512, ppc: int = 64) -> Case:
         return 0.05 + 4.0 * jnp.exp(-r2)
 
     deck = Deck(
+        # Count-mode (uniform weights, declared n_max = blob peak
+        # 0.05 + 4.0) -> int8-eligible; whole-bucket chunks.  See
+        # load_balance_stress_counts.
         box_x=51.2, box_y=51.2, nx=nx, ny=ny, tile_nx=8, tile_ny=8, guard=4,
+        kchunk=0, deposit="int8",
         species=(
             SpeciesSpec("ele", charge=-1.0, mass=1.0, ppc=ppc, ux=0.5,
-                        uth=0.02, density=blob, load_mode="count"),
+                        uth=0.02, density=blob, load_mode="count",
+                        n_max=4.05),
             SpeciesSpec("ion", charge=+1.0, mass=1836.0, ppc=ppc, ux=0.5,
-                        uth=0.02, density=blob, load_mode="count"),
+                        uth=0.02, density=blob, load_mode="count",
+                        n_max=4.05),
         ),
         sim_time=120.0, mesh_shape=(2, 4),
     )
@@ -259,8 +303,10 @@ def laser_wakefield_window(nx: int = 512, ny: int = 256, ppc: int = 4) -> Case:
         return 0.3 * 0.5 * (1.0 + jnp.tanh((x - 40.0) / 4.0))
 
     deck = Deck(
+        # Whole-bucket chunks; f32-exact deposit (weight-loaded upramp ->
+        # non-uniform w -> int8 ineligible, same as laser_plasma).
         box_x=box_x, box_y=box_y, nx=nx, ny=ny, tile_nx=8, tile_ny=8,
-        guard=4,
+        guard=4, kchunk=0,
         species=(
             SpeciesSpec("ele", charge=-1.0, mass=1.0, ppc=ppc, uth=0.01,
                         density=profile, shape_order=2),

@@ -137,11 +137,15 @@ def _qshape_sparse(x0, off: float, n_rows: int, g: int, S, order: int):
       measure-zero for physics data; both variants remain exact
       partitions of S.
     * support truncated by the window edge (center row at 0 or
-      n_rows - 1): dense folds the off-window share into the center,
-      this version drops it — such particles already leak current off
-      the J window (guard sizing forbids them; Deck.validate).
+      n_rows - 1): _edge_fold reproduces the dense behavior exactly —
+      the off-window outer share is folded into the center row, so the
+      IN-WINDOW rows still sum to S.  (Deck.validate's guard sizing
+      forbids such particles at s0; s1 is evaluated at the POST-push
+      position, one displacement closer to the edge than any static
+      bound — round-4 advisor finding.)
     order == 2 (TSC) only — CIC callers keep the dense path."""
     qm, qc, qp, c = _qsparse_vals(x0, off, S, order)
+    qc = _edge_fold(qm, qc, qp, c, g, n_rows)
     r = jax.lax.broadcasted_iota(jnp.int32, (n_rows, 1), 0).astype(
         jnp.float32)
     d = r - (c + float(g))
@@ -149,6 +153,20 @@ def _qshape_sparse(x0, off: float, n_rows: int, g: int, S, order: int):
         d == -1.0, qm,
         jnp.where(d == 0.0, qc,
                   jnp.where(d == 1.0, qp, jnp.zeros_like(d))))
+
+
+def _edge_fold(qm, qc, qp, c, g: int, n_rows: int):
+    """Dense-equivalent window-edge fold for the sparse quantized support:
+    when the center row c+g sits at row 0 (resp. n_rows-1), the qm (resp.
+    qp) outer value falls OFF the window — _qshape's column sum then only
+    sees the in-window rows, so its fold raises the center by exactly that
+    off-window share.  Reproduce it: qc += qm at the low edge, += qp at
+    the high edge (exact small-integer f32 adds; +0.0 — a no-op — for
+    every interior particle).  Keeps sum(in-window rows) == S, which the
+    Esirkepov telescoping needs to avoid a ridge current at the edge."""
+    cr = c + float(g)
+    qc = qc + jnp.where(cr <= 0.0, qm, 0.0)
+    return qc + jnp.where(cr >= float(n_rows - 1), qp, 0.0)
 
 
 def _qsparse_vals(x0, off: float, S, order: int):
@@ -190,7 +208,7 @@ def _dot_ss_wsplit(a, b):
 def _kernel(
     counts_ref,  # scalar-prefetch: [T] live count per tile
     ox_ref, oy_ref,  # scalar-prefetch: [T] int32 tile origins (cell units)
-    *refs,  # particles(6) + fields(1 fused | 2 split) + outs(5 particles + 3 J)
+    *refs,  # [w0 if w_synth] + particles(6|5) + fields(1|2) + outs(5 + 3 J)
     nxt: int, nyt: int, g: int, order: int,
     qm: float, q: float, dt: float, dx: float, dy: float, kc: int,
     fused_gather: bool,
@@ -204,13 +222,30 @@ def _kernel(
     tiles_per_block: int = 1,
     ablate: str = "",  # perf instrumentation (scripts/ablate_advance.py)
     interp_exact: bool = False,
+    w_synth: bool = False,
+    quant_words: int = 3,
 ):
     abl = frozenset(ablate.split(",")) if ablate else frozenset()
     nf = 1 if fused_gather else 2
-    x_ref, y_ref, px_ref, py_ref, pz_ref, w_ref = refs[:6]
-    f_refs = refs[6 : 6 + nf]
-    xo_ref, yo_ref, pxo_ref, pyo_ref, pzo_ref = refs[6 + nf : 11 + nf]
-    jx_ref, jy_ref, jz_ref, dmax_ref = refs[11 + nf : 15 + nf]
+    if w_synth:
+        # int8 whole-weight elision: uniform weights mean the w stream
+        # carries ONLY the live mask, and live-compacted buckets make
+        # that mask (slot < count) — so the kernel synthesizes w from
+        # the counts prefetch and the uniform value w0 (4th prefetch
+        # scalar, read from the state so runtime rescales stay correct)
+        # and the caller drops one of the 11 HBM particle streams.
+        w0_ref = refs[0]
+        refs = refs[1:]
+        x_ref, y_ref, px_ref, py_ref, pz_ref = refs[:5]
+        w_ref = None
+        np_in = 5
+    else:
+        w0_ref = None
+        x_ref, y_ref, px_ref, py_ref, pz_ref, w_ref = refs[:6]
+        np_in = 6
+    f_refs = refs[np_in : np_in + nf]
+    xo_ref, yo_ref, pxo_ref, pyo_ref, pzo_ref = refs[np_in + nf : np_in + 5 + nf]
+    jx_ref, jy_ref, jz_ref, dmax_ref = refs[np_in + 5 + nf : np_in + 9 + nf]
     k = pl.program_id(1)
 
     @pl.when(k == 0)
@@ -234,6 +269,7 @@ def _kernel(
             gather_mode=gather_mode, gather_prec=gather_prec,
             deposit_mode=deposit_mode, red_mode=red_mode,
             body_sub=body_sub, abl=abl, interp_exact=interp_exact,
+            w0_ref=w0_ref, quant_words=quant_words,
         )
 
 
@@ -241,7 +277,8 @@ def _process_tile(
     ti, t, k, counts_ref, ox_ref, oy_ref, f_refs, p_refs, o_refs, j_refs,
     *, nxt, nyt, g, order, qm, q, dt, dx, dy, kc,
     fused_gather, wrap, grid, gather_mode, gather_prec, deposit_mode,
-    red_mode, body_sub, abl, interp_exact=False,
+    red_mode, body_sub, abl, interp_exact=False, w0_ref=None,
+    quant_words=3,
 ):
     x_ref, y_ref, px_ref, py_ref, pz_ref, w_ref = p_refs
     xo_ref, yo_ref, pxo_ref, pyo_ref, pzo_ref = o_refs
@@ -252,7 +289,16 @@ def _process_tile(
     px = px_ref[ti, 0]
     py = py_ref[ti, 0]
     pz = pz_ref[ti, 0]
-    w_full = w_ref[ti, 0]
+    if w_ref is None:
+        # w stream elided (w_synth): live-compacted buckets make the
+        # live mask (slot < count), and the uniform value rides the w0
+        # prefetch scalar — bit-identical to streaming w whenever the
+        # int8 uniform-weight contract holds (the caller gates on it).
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, kc), 1)
+        live = (k * kc + lane) < counts_ref[t]
+        w_full = jnp.where(live, w0_ref[0], 0.0)
+    else:
+        w_full = w_ref[ti, 0]
     qw_full = q * w_full
     f_tile = tuple(fr.at[ti] for fr in f_refs)
 
@@ -277,7 +323,7 @@ def _process_tile(
                 dy=dy, fused_gather=fused_gather, wrap=wrap, grid=grid,
                 gather_mode=gather_mode, gather_prec=gather_prec,
                 deposit_mode=deposit_mode, red_mode=red_mode, abl=abl,
-                interp_exact=interp_exact,
+                interp_exact=interp_exact, quant_words=quant_words,
             )
             outs.append(o[:5])
             j_acc = o[5:8] if j_acc is None else tuple(
@@ -308,7 +354,7 @@ def _sub_chunk(
     x, y, px, py, pz, qw, wgt, f_refs, ox_s, oy_s, kc,
     *, nxt, nyt, g, order, qm, dt, dx, dy,
     fused_gather, wrap, grid, gather_mode, gather_prec, deposit_mode,
-    red_mode, abl, interp_exact=False,
+    red_mode, abl, interp_exact=False, quant_words=3,
 ):
     """One lane-slice of the fused pipeline; returns
     (x', y', px', py', pz', jx, jy, jz) with J as [nyg/ nxg] window
@@ -413,7 +459,8 @@ def _sub_chunk(
                 # folded into the Boris half-kick coefficient h below.
                 qb = jnp.concatenate([qx_h, qx_i], axis=0).astype(
                     jnp.bfloat16)
-                rhs_w = jnp.concatenate([qb, qb, qb], axis=0)  # [6nxg, KC]
+                rhs_w = jnp.concatenate(
+                    [qb] * quant_words, axis=0)  # [2*words*nxg, KC]
                 if interp_exact:
                     m = jax.lax.dot_general(
                         f_refs[0][...].astype(jnp.float32),
@@ -509,20 +556,32 @@ def _sub_chunk(
             yy = (r8 // 8).astype(jnp.float32) - g
             cc = r8 % 8
             is_h = (cc == 2) | (cc == 3) | (cc == 5)
-            if gather_mode == "quant" and sparse_q:
+            if gather_mode == "quant":
                 # Quantized sy on the interleaved rows from the SAME
                 # sparse endpoint values the deposit uses (one assignment
                 # function on force and current sides — no self-force).
-                # NEGATIVE RESULT, kept as a measured knob: in the quant
-                # pipeline ytree is 1.5x SLOWER than the per-component
-                # tree (kernel 136 vs 93 ms, bench 7.1 vs 10.1e8 at
-                # kc=512 — docs/R4_BATCH.log batch I).  The f32 win came
-                # from replacing the [8nyg,KC] dense sy eval's rotation-
-                # heavy sub-8 adds; in quant the tree path's sy is the
-                # already-cheap sparse [nyg,KC] eval, so ytree only adds
-                # the interleaved select build + a 2x-M gather dot.
+                # The closed-form fold qc = S - qm - qp IS the per-class
+                # dense fold, and it holds for BOTH orders (CIC's 2-cell
+                # support just lands one outer value at exactly 0), so
+                # this construction serves the CIC-quant and ablation
+                # paths too.  A per-interleaved-row _qshape was tried
+                # here and is WRONG: its partition fold column-sums all
+                # 8*nyg rows (~8S — both stagger classes plus pads), so
+                # every center row picked up S - 8S (round-4 advisor
+                # finding; center value -391 where the dense qy row is
+                # 43).  NEGATIVE perf RESULT, kept as a measured knob:
+                # in the quant pipeline ytree is 1.5x SLOWER than the
+                # per-component tree (kernel 136 vs 93 ms, bench 7.1 vs
+                # 10.1e8 at kc=512 — docs/R4_BATCH.log batch I).  The
+                # f32 win came from replacing the [8nyg,KC] dense sy
+                # eval's rotation-heavy sub-8 adds; in quant the tree
+                # path's sy is the already-cheap sparse [nyg,KC] eval,
+                # so ytree only adds the interleaved select build + a
+                # 2x-M gather dot.
                 qmi, qci, qpi, ci_ = _qsparse_vals(eta, 0.0, S, order)
                 qmh, qch, qph, ch_ = _qsparse_vals(eta, 0.5, S, order)
+                qci = _edge_fold(qmi, qci, qpi, ci_, g, nyg)
+                qch = _edge_fold(qmh, qch, qph, ch_, g, nyg)
                 di = yy - ci_
                 dh = yy - ch_
                 qri = jnp.where(
@@ -534,13 +593,6 @@ def _sub_chunk(
                     jnp.where(dh == 0.0, qch,
                               jnp.where(dh == 1.0, qph, 0.0)))
                 s2 = jnp.where(is_h, qrh, qri)
-            elif gather_mode == "quant":
-                # Dense interleaved quantization (CIC-quant and the
-                # qshape/evals ablations): same values as the dense qy
-                # rows, evaluated per interleaved row.
-                stag = jnp.where(is_h, 0.5, 0.0)
-                u2 = eta - yy - stag
-                s2 = _qs(_shape_vals(u2, order), u2)
             else:
                 stag = jnp.where(is_h, 0.5, 0.0)
                 s2 = _shape_vals(eta - yy - stag, order)  # [8nyg, KC]
@@ -911,6 +963,7 @@ def fused_push_deposit(
     red_mode: str = "",
     qw0: float = 0.0,  # uniform q*w; required for deposit_mode='int8'
     vma_axes=(),
+    w_synth: bool = False,
 ):
     """Returns (pushed ParticleState, (jx, jy, jz) tile stacks
     [T, nyg, nxg]).  Drop-in for the XLA chunk-scan path.
@@ -989,8 +1042,22 @@ def fused_push_deposit(
         fused_gather and 8 * nyg <= 128 and (nyg & (nyg - 1)) == 0
     ):
         red_mode = "tree"
+    # w-stream elision: only sound under the int8 uniform-weight contract
+    # (the caller additionally gates on live-compacted buckets — periodic
+    # decks whose loader/re-bin always compact).  MINIPIC_W_SYNTH=0 is
+    # the A/B kill switch.
+    w_synth = (w_synth and deposit_mode == "int8"
+               and _os.environ.get("MINIPIC_W_SYNTH", "1") != "0")
     fb_rows = (8 if red_mode == "ytree" else 6) * nyg
-    fb_w = {"fast": 2, "f32x3": 6, "quant": 6}.get(gather_precision, 12) * nxg
+    # Experiment knob (round-5 advance levers): the quant gather's field
+    # operand as 2 exact bf16 words instead of 3 — K drops 6nxg -> 4nxg
+    # at ~1.5e-5 relative force error (the dropped third word carries
+    # bits below 2^-16 of the field).  Opt-in until the 10k energy
+    # acceptance is re-measured at words=2.
+    quant_words = int(_os.environ.get("MINIPIC_GATHER_WORDS", "3"))
+    quant_words = quant_words if quant_words in (2, 3) else 3
+    fb_w = {"fast": 2, "f32x3": 6,
+            "quant": 2 * quant_words}.get(gather_precision, 12) * nxg
     fbspec = pl.BlockSpec((tp, fb_rows, fb_w), lambda i, k, *_: (i, 0, 0), memory_space=pltpu.VMEM)
     dspec = pl.BlockSpec((tp, 1, 128), lambda i, k, *_: (i, 0, 0), memory_space=pltpu.VMEM)
 
@@ -1009,7 +1076,8 @@ def fused_push_deposit(
         fused_gather=fused_gather, wrap=wrap, grid=grid, ablate=ablate,
         deposit_mode=deposit_mode, red_mode=red_mode,
         body_sub=body_sub, tiles_per_block=tp,
-        interp_exact=interpret,
+        interp_exact=interpret, w_synth=w_synth,
+        quant_words=quant_words,
         gather_mode=gather_precision,
         # The split (non-fused) path has no word-stacked layout; Mosaic
         # supports only DEFAULT/HIGHEST there.
@@ -1020,9 +1088,11 @@ def fused_push_deposit(
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,  # counts, ox, oy
+        # counts, ox, oy (+ the uniform w0 when the w stream is elided)
+        num_scalar_prefetch=4 if w_synth else 3,
         grid=(t_total // tp, cap // kc),
-        in_specs=[pspec] * 6 + ([fbspec] if fused_gather else [f3spec] * 2),
+        in_specs=[pspec] * (5 if w_synth else 6)
+        + ([fbspec] if fused_gather else [f3spec] * 2),
         out_specs=[pspec] * 5 + [fspec] * 3 + [dspec],
     )
 
@@ -1082,9 +1152,12 @@ def fused_push_deposit(
                 f_blk = jnp.concatenate([f0, f0, f1], axis=2)
             elif gather_precision == "quant":
                 # Quantized shapes are one exact bf16 word; only the
-                # field needs all three — pairs (f0*q, f1*q, f2*q).
-                f2 = (r - f1.astype(dtype)).astype(jnp.bfloat16)
-                f_blk = jnp.concatenate([f0, f1, f2], axis=2)
+                # field needs its words — pairs (f0*q, f1*q[, f2*q]).
+                if quant_words == 2:
+                    f_blk = jnp.concatenate([f0, f1], axis=2)
+                else:
+                    f2 = (r - f1.astype(dtype)).astype(jnp.bfloat16)
+                    f_blk = jnp.concatenate([f0, f1, f2], axis=2)
             else:
                 f2 = (r - f1.astype(dtype)).astype(jnp.bfloat16)
                 f_blk = jnp.concatenate([f0, f0, f1, f0, f1, f2], axis=2)
@@ -1092,20 +1165,25 @@ def fused_push_deposit(
     else:
         f_args = (f_hx, f_ix)
 
+    pre = (counts.astype(jnp.int32),
+           ox.reshape(t_total).astype(jnp.int32),
+           oy.reshape(t_total).astype(jnp.int32))
+    if w_synth:
+        # Uniform live weight from the runtime state (dead slots are 0,
+        # so max is the live value) — SMEM prefetch scalar.
+        pre = pre + (jnp.max(p.w).reshape(1).astype(dtype),)
+        p_args = (chunked(p.x), chunked(p.y), chunked(p.px),
+                  chunked(p.py), chunked(p.pz))
+    else:
+        p_args = (chunked(p.x), chunked(p.y), chunked(p.px),
+                  chunked(p.py), chunked(p.pz), chunked(p.w))
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
         cost_estimate=cost,
         interpret=interpret,
-    )(
-        counts.astype(jnp.int32),
-        ox.reshape(t_total).astype(jnp.int32),
-        oy.reshape(t_total).astype(jnp.int32),
-        chunked(p.x), chunked(p.y), chunked(p.px), chunked(p.py),
-        chunked(p.pz), chunked(p.w),
-        *f_args,
-    )
+    )(*pre, *p_args, *f_args)
     xn, yn, pxn, pyn, pzn = (a.reshape(t_total, cap) for a in outs[:5])
     jx, jy, jz, dmax = outs[5], outs[6], outs[7], outs[8]
     if deposit_mode == "int8":

@@ -640,6 +640,20 @@ def _split_kernel(
     )
 
 
+def split_kc_env(default: int = 512) -> int:
+    """Resolve MINIPIC_SPLIT_KC, rounded UP to a multiple of 512 — the
+    single alignment rule shared by Simulation.__init__/ensure_capacity
+    (bucket-capacity quantum) and split_buckets (chunk size).  The re-bin
+    kernels slice in 128-lane blocks and the int8 K-fold needs kc/4
+    lane-aligned, so a raw env value like 600 or 1000 would produce a
+    capacity the kernels reject at runtime with an obscure Mosaic error
+    (round-4 advisor finding); rounding here keeps any setting valid."""
+    v = int(os.environ.get("MINIPIC_SPLIT_KC", str(default)))
+    if v <= 0:
+        raise ValueError(f"MINIPIC_SPLIT_KC must be positive, got {v}")
+    return -(-v // 512) * 512
+
+
 def split_buckets(
     p: ParticleState, *, tile_rows: int, tile_cols: int, tile_ny: int,
     tile_nx: int, b_cap: int, kc: int = 0, interpret: bool = False,
@@ -662,7 +676,7 @@ def split_buckets(
     dominates, so the largest chunk the buffers admit wins."""
     t_total, cap = p.num_tiles, p.capacity
     if kc == 0:
-        kc = int(os.environ.get("MINIPIC_SPLIT_KC", "512"))
+        kc = split_kc_env()
     if cap % kc or kc > b_cap:
         for d in (512, 384, 256, 128):  # largest valid chunk wins
             if cap % d == 0 and d <= b_cap:
@@ -743,6 +757,7 @@ def _segment_kernel(
     *,
     tile_nx: int, tile_ny: int, tile_cols: int, tile_rows: int,
     kc: int, n_chunks: int, b_seg: int, n_tiles: int, wsplit: bool = True,
+    fc: int = 0,
 ):
     """Bin one tile's (already compacted) movers by destination direction:
     segment d of the output holds, live-compacted, the movers whose
@@ -762,7 +777,17 @@ def _segment_kernel(
     overflow also drops and counts — unlike the split kernel there is no
     deferral here, the movers are already out of their buckets (size via
     Deck.mover_seg_cap).  Stats in channel 6: lane d = dropped count of
-    direction d, lane 8 = killed >1-hop movers."""
+    direction d, lane 8 = killed >1-hop movers.
+
+    fc (flush chunk) decouples the segment-buffer write granularity from
+    the processing chunk: pending runs flush to seg_ref in fc-slot blocks
+    (up to kc/fc per chunk, statically unrolled), so kc only needs to
+    divide the mover capacity while b_seg only needs fc-divisibility —
+    this is what admits kc=512 chunks against the b_seg=768 buffer the
+    sizing formula produces (round-4 ledger: segment was capped at
+    kc=256 by b_seg % kc, costing 66 ms of the 469 ms deal re-bin)."""
+    if fc <= 0:
+        fc = kc
     t = pl.program_id(0)
     my_row = rc_ref[t].astype(jnp.float32)
     my_col = rc_ref[n_tiles + t].astype(jnp.float32)
@@ -852,33 +877,37 @@ def _segment_kernel(
                 )
                 pcd = pcd + cnt
 
-                @pl.when(pcd >= kc)
-                def _flush(d=d, curd=curd):
-                    @pl.when(curd + kc <= b_seg)
-                    def _w():
-                        slw = pl.ds(
-                            d * b_seg + pl.multiple_of(curd, kc), kc
+                # Flush full fc-blocks (statically unrolled: pcd < fc on
+                # entry and grows by cnt <= kc, so at most kc/fc flushes).
+                for _f in range(kc // fc):
+                    @pl.when(pcd >= fc)
+                    def _flush(d=d, curd=curd):
+                        @pl.when(curd + fc <= b_seg)
+                        def _w():
+                            slw = pl.ds(
+                                d * b_seg + pl.multiple_of(curd, fc), fc
+                            )
+                            seg_ref[0, 0:6, slw] = pend_ref[
+                                8 * d : 8 * d + 6, :fc
+                            ]
+
+                        shifted = pltpu.roll(
+                            pend_ref[8 * d : 8 * (d + 1), :], 2 * kc - fc, 1
                         )
-                        seg_ref[0, 0:6, slw] = pend_ref[
-                            8 * d : 8 * d + 6, :kc
-                        ]
+                        ztail = (
+                            jax.lax.broadcasted_iota(
+                                jnp.int32, (8, 2 * kc), 1)
+                            < 2 * kc - fc
+                        )
+                        pend_ref[8 * d : 8 * (d + 1), :] = jnp.where(
+                            ztail, shifted, 0.0
+                        )
 
-                    shifted = pltpu.roll(
-                        pend_ref[8 * d : 8 * (d + 1), :], kc, 1
-                    )
-                    ztail = (
-                        jax.lax.broadcasted_iota(jnp.int32, (8, 2 * kc), 1)
-                        < kc
-                    )
-                    pend_ref[8 * d : 8 * (d + 1), :] = jnp.where(
-                        ztail, shifted, 0.0
-                    )
-
-                flush = pcd >= kc
-                over = flush & (curd + kc > b_seg)
-                dropd = dropd + jnp.where(over, kc, 0)
-                curd = curd + jnp.where(flush & ~over, kc, 0)
-                pcd = jnp.where(flush, pcd - kc, pcd)
+                    flush = pcd >= fc
+                    over = flush & (curd + fc > b_seg)
+                    dropd = dropd + jnp.where(over, fc, 0)
+                    curd = curd + jnp.where(flush & ~over, fc, 0)
+                    pcd = jnp.where(flush, pcd - fc, pcd)
                 new_pc.append(pcd)
                 new_cur.append(curd)
                 new_drop.append(dropd)
@@ -914,7 +943,7 @@ def _segment_kernel(
 
 def segment_movers(
     movers: ParticleState, *, tile_rows: int, tile_cols: int, tile_ny: int,
-    tile_nx: int, b_seg: int, kc: int = 256, interpret: bool = False,
+    tile_nx: int, b_seg: int, kc: int = 0, interpret: bool = False,
     vma_axes=(), wsplit=None, row0=0, col0=0, grid_rows=None,
     grid_cols=None,
 ):
@@ -923,26 +952,39 @@ def segment_movers(
     compacted at columns [d*b_seg, (d+1)*b_seg) — and dropped [T] i32:
     per-direction segment overflow plus >1-hop kills).
 
+    kc=0 resolves from MINIPIC_SEG_KC (default 512, same serial-carry-
+    chain economics as the split kernel's chunk sweep — the flush chunk
+    fc = gcd(kc, b_seg) decouples the chunk from b_seg divisibility, so
+    512 applies against the sizing formula's b_seg=768 where round 4 was
+    capped at 256).
+
     Sharded use: tile_rows/tile_cols describe the LOCAL contiguous block
     layout, row0/col0 its global tile offset (traced scalars are fine —
     they ride the scalar-prefetch origin vector), and grid_rows/grid_cols
     the GLOBAL tile counts for the periodic far-edge fold (default: the
     local counts, i.e. the single-device case)."""
+    import math as _math
+
     t_total, mc = movers.num_tiles, movers.capacity
-    if mc % kc or b_seg % kc:
-        for d in (128, 256):
-            if mc % d == 0 and b_seg % d == 0:
+    if kc == 0:
+        kc = int(os.environ.get("MINIPIC_SEG_KC", "512"))
+    fc = _math.gcd(kc, b_seg)
+    if mc % kc or fc % 128:
+        for d in (512, 384, 256, 128):  # largest valid chunk wins
+            if mc % d == 0 and d <= mc and _math.gcd(d, b_seg) % 128 == 0:
                 kc = d
+                fc = _math.gcd(d, b_seg)
                 break
         else:
-            raise ValueError(f"mover cap {mc} / b_seg {b_seg} need a 128|256 chunk")
+            raise ValueError(
+                f"mover cap {mc} / b_seg {b_seg} admit no 128-aligned chunk")
 
     kern = functools.partial(
         _segment_kernel,
         tile_nx=tile_nx, tile_ny=tile_ny,
         tile_cols=(grid_cols if grid_cols is not None else tile_cols),
         tile_rows=(grid_rows if grid_rows is not None else tile_rows),
-        kc=kc, n_chunks=mc // kc, b_seg=b_seg,
+        kc=kc, n_chunks=mc // kc, b_seg=b_seg, fc=fc,
         n_tiles=t_total, wsplit=(False if interpret else _wsplit_default(wsplit)),
     )
     pin = pl.BlockSpec((1, 1, mc), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM)

@@ -145,10 +145,12 @@ def build_sharded_step(deck: Deck, mesh: Mesh):
                 gather_precision=deck.gather_precision,
                 deposit_mode=deck.deposit,
                 qw0=(spec.charge * deck.dx * deck.dy / spec.ppc
-                     if spec.density is None else 0.0),
+                     if spec.uniform_weights() else 0.0),
                 wrap=kernel_wrap,
                 grid=center_grid,
                 return_disp=trigger_drift,
+                # Same soundness gate as the single-device driver.
+                w_synth=periodic,
             )
             if trigger_drift:
                 pnew, (sjx, sjy, sjz), sdisp = adv

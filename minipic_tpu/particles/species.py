@@ -128,6 +128,22 @@ def _load_buckets(
     py = mom(ky, uy, spec.uy)
     pz = mom(kz, uz, spec.uz)
 
+    if spec.load_mode == "count" and spec.density is not None:
+        # Live-compact each bucket at load time: the thinned sub-lattice
+        # leaves w==0 holes interleaved below the watermark, which the
+        # occupancy-bounded kernels (dead-chunk gate, @pl.when occupancy
+        # bound) cannot skip until the first re-bin compacts them — a
+        # count-mode deck would otherwise pay full-capacity compute for
+        # its first ~rebin-interval steps.  Stable partition (live slots
+        # first, original order kept) so the load stays deterministic in
+        # (key, absolute position); momenta were already drawn per
+        # ORIGINAL slot, so thinning/compaction does not shift any
+        # particle's noise.
+        order = jnp.argsort(jnp.where(w > 0, 0, 1), axis=1, stable=True)
+        x, y, px, py, pz, w = (
+            jnp.take_along_axis(a, order, axis=1)
+            for a in (x, y, px, py, pz, w))
+
     def pad(a):
         return jnp.pad(a.astype(dtype), ((0, 0), (0, capacity - per_tile)))
 

@@ -77,7 +77,7 @@ class StepDiag(NamedTuple):
     # [rows*cols] sharded, [1] single-device.
     shard_live: jax.Array
     # Count of int8-engaged species whose LIVE weights are non-uniform —
-    # the runtime guard behind the deck-time gate (spec.density is None).
+    # the runtime guard behind the deck-time gate (SpeciesSpec.uniform_weights).
     # Non-zero means the integer-ring deposit is scaling currents with
     # the WRONG q*w; RunHistory.record raises on it (diag cadence).
     weight_nonuniform: jax.Array
@@ -89,7 +89,7 @@ def int8_weight_violations(deck, species_states, axes=()):
     The int8 matched-quantization deposit factors the uniform q*w out of
     the integer-ring contraction as q*max(w) (ops/pallas/ppd_kernel.py);
     that is only correct when every live particle of the species shares
-    one weight.  The deck gate (`spec.density is None`) is a deck-time
+    one weight.  The deck gate (`SpeciesSpec.uniform_weights`) is a deck-time
     proxy — a custom seed_state editing weights per particle would
     deposit wrong currents SILENTLY while forces stay right (the class
     of bug behind docs/ROADMAP.md round-3 lesson 1).  This on-device
@@ -106,8 +106,8 @@ def int8_weight_violations(deck, species_states, axes=()):
     if deck.deposit != "int8":
         return bad
     for spec, p in zip(deck.species, species_states):
-        if spec.density is not None:
-            continue  # density-profile species fall back to the f32 path
+        if not spec.uniform_weights():
+            continue  # weight-profile species fall back to the f32 path
         wmax = jnp.max(p.w)
         wmin = jnp.min(jnp.where(p.w > 0, p.w, jnp.inf))
         if axes:
@@ -179,6 +179,7 @@ def advance_species_tiles(
     wrap: Optional[Tuple[int, int]] = None,
     grid: Optional[Tuple[int, int]] = None,
     return_disp: bool = False,
+    w_synth: bool = False,
 ) -> Tuple[ParticleState, Tuple[jax.Array, jax.Array, jax.Array]]:
     """Gather + push + move + deposit for one species over its tile
     buffers, scanned in slot chunks.  Returns the pushed particles
@@ -210,7 +211,7 @@ def advance_species_tiles(
             dt=dt, dx=dx, dy=dy, kc=kc, gather_precision=gather_precision,
             deposit_mode=deposit_mode, qw0=qw0, red_mode=red_mode,
             wrap=wrap, grid=grid, return_disp=return_disp,
-            vma_axes=vma_axes,
+            vma_axes=vma_axes, w_synth=w_synth,
         )
         if interpret:
             kwargs["interpret"] = True
@@ -355,17 +356,22 @@ def build_step(deck: Deck):
                 interpret=interpret,
                 gather_precision=deck.gather_precision,
                 deposit_mode=deck.deposit,
-                # Uniform-weight decks (no density profile) factor q*w out
-                # of the deposit contraction — gates the int8 matched-
-                # quantization deposit (deck.deposit / MINIPIC_DEPOSIT_MODE
-                # = "int8"); the actual uniform value is read from the
-                # state at call time (q * max(w)), so seed_state weight
-                # rescales stay correct.
+                # Uniform-weight species (SpeciesSpec.uniform_weights:
+                # no density profile, or count-mode with declared n_max)
+                # factor q*w out of the deposit contraction — gates the
+                # int8 matched-quantization deposit (deck.deposit /
+                # MINIPIC_DEPOSIT_MODE = "int8"); the actual uniform
+                # value is read from the state at call time (q * max(w)),
+                # so seed_state weight rescales stay correct.
                 qw0=(spec.charge * dx * dy / spec.ppc
-                     if spec.density is None else 0.0),
+                     if spec.uniform_weights() else 0.0),
                 wrap=kernel_wrap,
                 grid=center_grid,
                 return_disp=trigger_drift,
+                # w-stream elision: sound only when buckets stay
+                # live-compacted between re-bins — periodic decks (no
+                # absorbing/window kills) with the compacting loader.
+                w_synth=periodic,
             )
             if trigger_drift:
                 pnew, (sjx, sjy, sjz), sdisp = adv
@@ -603,9 +609,10 @@ class Simulation:
         # int8 deposit's 4-way K-fold needs kc/4 lane-aligned — Mosaic
         # rejects tpu.concatenate of mixed-lane-offset slices; <=1.4%
         # extra slots).  A larger MINIPIC_SPLIT_KC raises the alignment
-        # so the split kernel's cap % kc requirement holds.
-        q = deck.kchunk if deck.kchunk > 0 else max(
-            512, int(os.environ.get("MINIPIC_SPLIT_KC", "512")))
+        # so the split kernel's cap % kc requirement holds; split_kc_env
+        # rounds the env value to the 512 quantum both sides share.
+        from .ops.pallas.rebin_kernels import split_kc_env
+        q = deck.kchunk if deck.kchunk > 0 else split_kc_env()
         if cap % q:
             cap = -(-cap // q) * q
         key = jax.random.PRNGKey(seed)
@@ -651,11 +658,10 @@ class Simulation:
             new_cap = mgr.plan(census(p), overflow)
             if new_cap is None:
                 continue
-            # Same alignment rule as __init__: kchunk multiple, or 512
-            # lanes for whole-bucket mode (re-bin kernels slice 128-lane
-            # blocks; the int8 K-fold needs kc/4 lane-aligned).
-            q = self.deck.kchunk if self.deck.kchunk > 0 else max(
-                512, int(os.environ.get("MINIPIC_SPLIT_KC", "512")))
+            # Same alignment rule as __init__: kchunk multiple, or the
+            # shared 512-quantum split_kc_env for whole-bucket mode.
+            from .ops.pallas.rebin_kernels import split_kc_env
+            q = self.deck.kchunk if self.deck.kchunk > 0 else split_kc_env()
             cap = -(-new_cap // q) * q
             if cap > p.capacity:
                 species[i] = with_capacity(p, cap)

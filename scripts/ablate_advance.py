@@ -41,7 +41,11 @@ def main():
     ap.add_argument("--grid", type=int, default=512)
     ap.add_argument("--kchunk", type=int, default=4096)
     ap.add_argument("--bodysub", type=int, default=0)
+    ap.add_argument("--tpb", type=int, default=0)  # tiles_per_block
+    ap.add_argument("--wsynth", action="store_true")  # elide the w stream
     ap.add_argument("--order", type=int, default=1)
+    ap.add_argument("--quick", action="store_true",
+                    help="full + gather variants only (skip ablations)")
     args = ap.parse_args()
 
     grid = args.grid
@@ -79,6 +83,7 @@ def main():
                 kc=(p.capacity if deck.kchunk <= 0 else deck.kchunk),
                 wrap=(deck.nx, deck.ny), grid=(deck.nx, deck.ny),
                 gather_precision=gather, ablate=ablate, body_sub=args.bodysub,
+                tiles_per_block=args.tpb, w_synth=args.wsynth,
                 # uniform-weight gate so MINIPIC_DEPOSIT_MODE=int8 engages
                 qw0=-deck.dx * deck.dy / deck.species[0].ppc,
             )
@@ -91,6 +96,8 @@ def main():
     print(f"fast-gather      {t*1e3:8.1f} ms   -> HIGHEST 6-pass ~{(t_full-t)*1e3:.1f} ms", flush=True)
     t = run("", gather="f32x3")
     print(f"f32x3-gather     {t*1e3:8.1f} ms   (bf16x3, ~1e-6 force err)", flush=True)
+    if args.quick:
+        return
     for ab in ("red", "boris", "esirkepov", "prep", "stagger-evals", "qshape",
                "depdot", "evals",
                "red,boris,esirkepov,prep,stagger-evals",

@@ -56,7 +56,10 @@ def test_stripe_map_partitions_evenly():
         assert sorted(gids.reshape(-1).tolist()) == list(range(tr * tc))
 
 
-@pytest.mark.parametrize("n_dev", [8, 4])
+@pytest.mark.parametrize("n_dev", [
+    pytest.param(8, marks=pytest.mark.slow),
+    4,  # the fast-gate representative of the equivalence family
+])
 def test_balanced_matches_single_device(n_dev):
     """Same deck, same seed: the striped run must reproduce the
     single-device run (fields to round-off; particles as multisets)."""
@@ -94,6 +97,7 @@ def test_balanced_matches_single_device(n_dev):
             np.testing.assert_allclose(b_gid, a, rtol=1e-10, atol=1e-12, err_msg=name)
 
 
+@pytest.mark.slow
 def test_balanced_incremental_rebin_matches_single_device():
     """The Pallas split/append re-bin path under striped gids (tile_ids
     scalar-prefetch) against the single-device run."""
@@ -159,6 +163,7 @@ def _blob_deck(load_mode):
     )
 
 
+@pytest.mark.slow
 def test_striped_placement_bounds_count_skew():
     """The measured load-balance claim: under a ~41x count-contrast blob,
     per-shard live counts (== per-chip work under the occupancy-bounded

@@ -55,12 +55,18 @@ def _canon(q):
     return out
 
 
-def test_deal_route_matches_sort_route_exactly():
+@pytest.mark.parametrize("seg_cap,seg_kc", [
+    (256, "512"),  # fc = gcd(512, 256) = 256 != kc: the decoupled flush
+    (384, "512"),  # fc = 128 = kc/4: multi-flush unroll per chunk
+    (256, "256"),  # fc == kc: the round-4 single-flush geometry
+])
+def test_deal_route_matches_sort_route_exactly(seg_cap, seg_kc, monkeypatch):
+    monkeypatch.setenv("MINIPIC_SEG_KC", seg_kc)
     deck, p = _blasted_state()
     t = deck.tiling
     mc = deck.mover_cap(p.capacity)
     a, da, _ = rebin_auto(p, t, mc, interpret=True, seg_cap=0)
-    b, db, _ = rebin_auto(p, t, mc, interpret=True, seg_cap=256)
+    b, db, _ = rebin_auto(p, t, mc, interpret=True, seg_cap=seg_cap)
     assert int(da) == 0 and int(db) == 0
     for i, (ra, rb) in enumerate(zip(_canon(a), _canon(b))):
         assert ra.shape == rb.shape, f"bucket {i} count differs"

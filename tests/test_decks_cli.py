@@ -53,6 +53,7 @@ def test_cli_two_stream_smoke(tmp_path):
     assert abs(tot[-1] - tot[0]) / tot[0] < 1e-6
 
 
+@pytest.mark.slow
 def test_cli_sharded_stress_smoke(tmp_path):
     out = str(tmp_path / "lb")
     rc = cli_main([
@@ -64,6 +65,7 @@ def test_cli_sharded_stress_smoke(tmp_path):
     assert all(o == 0 for o in hist["overflow"])
 
 
+@pytest.mark.slow
 def test_cli_resume_bit_exact(tmp_path):
     """Kill-and-restart at the driver level: a run interrupted at step 10
     and resumed via --resume must land bit-exact on the uninterrupted run
@@ -90,6 +92,7 @@ def test_cli_resume_bit_exact(tmp_path):
             )
 
 
+@pytest.mark.slow
 def test_cli_balanced_window_resume_bit_exact(tmp_path):
     """--balanced on a moving-window deck, interrupted and resumed: must
     land bit-exact on the uninterrupted balanced run (covers the striped

@@ -68,6 +68,7 @@ def test_incremental_no_movers_is_identity_on_live_slots():
         )
 
 
+@pytest.mark.slow
 def test_rebin_auto_defrags_under_pressure():
     deck, tiling, p = _fixture()
     # Tiny capacity margin: repeated incremental passes must trigger the
@@ -134,6 +135,7 @@ def test_extract_all_or_nothing_defers_without_loss():
     assert n_f + int(drops.sum()) == n0
 
 
+@pytest.mark.slow
 def test_full_simulation_with_incremental_rebin_matches_sort():
     base = Deck(
         box_x=8.0, box_y=4.0, nx=64, ny=32, tile_nx=8, tile_ny=8,
@@ -238,3 +240,23 @@ def test_int8_byte_permute_is_exact_selection():
     np.testing.assert_array_equal(
         np.asarray(jax.lax.bitcast_convert_type(out, jnp.int32)),
         ref.view(np.int32))
+
+
+def test_split_kc_env_rounds_to_512_quantum(monkeypatch):
+    """MINIPIC_SPLIT_KC values that are not lane-aligned (600, 1000) used
+    to produce a bucket capacity the re-bin kernels and the int8 K-fold
+    reject at runtime with an obscure Mosaic error — split_kc_env rounds
+    up to the shared 512 quantum instead (round-4 advisor finding)."""
+    from minipic_tpu.ops.pallas.rebin_kernels import split_kc_env
+
+    monkeypatch.delenv("MINIPIC_SPLIT_KC", raising=False)
+    assert split_kc_env() == 512
+    monkeypatch.setenv("MINIPIC_SPLIT_KC", "600")
+    assert split_kc_env() == 1024
+    monkeypatch.setenv("MINIPIC_SPLIT_KC", "1000")
+    assert split_kc_env() == 1024
+    monkeypatch.setenv("MINIPIC_SPLIT_KC", "1024")
+    assert split_kc_env() == 1024
+    monkeypatch.setenv("MINIPIC_SPLIT_KC", "-5")
+    with pytest.raises(ValueError):
+        split_kc_env()

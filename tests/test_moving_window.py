@@ -103,6 +103,7 @@ def test_plasma_injection_balances_outflow():
     assert fe < 0.1 * ke, (fe, ke)
 
 
+@pytest.mark.slow
 def test_window_checkpoint_roundtrip(tmp_path):
     from minipic_tpu.io.checkpoint import load_checkpoint, save_checkpoint
 
@@ -133,6 +134,7 @@ def test_moving_window_requires_absorbing():
              moving_window=True, species=()).validate()
 
 
+@pytest.mark.slow
 def test_sharded_window_matches_single_device():
     """Sharded moving window == single-device moving window, exactly
     (f64, XLA path): the cross-shard bucket handoff, the ppermute field
@@ -181,6 +183,7 @@ def test_sharded_window_matches_single_device():
                                        err_msg=name)
 
 
+@pytest.mark.slow
 def test_balanced_window_matches_single_device():
     """Striped (BalancedSimulation) moving window == single-device moving
     window, exactly (f64, XLA path).  The balanced window never moves

@@ -71,6 +71,7 @@ def test_pallas_matches_xla_path(order, guard, kchunk):
         )
 
 
+@pytest.mark.slow
 def test_pallas_full_step_two_stream():
     """Full Simulation step with use_pallas='on' (interpreted) conserves
     energy and matches the XLA step's observables."""
@@ -159,12 +160,19 @@ def test_qshape_sparse_matches_dense():
     S = qshape_scale(order)
     key = jax.random.PRNGKey(7)
     # positions across the valid window interior (support fully inside),
-    # plus exact half-integers and near-ulp neighbors of them
+    # plus exact half-integers and near-ulp neighbors of them, plus
+    # window-edge positions whose support is truncated by the window
+    # (center row at 0 or nxg-1 with a NONZERO off-window outer value —
+    # the _edge_fold case; dense folds the off-window share into the
+    # center, sparse must reproduce it)
     base = jax.random.uniform(key, (1, 4096), minval=-2.5, maxval=10.5)
     halves = jnp.arange(-2.0, 10.5, 0.5, dtype=jnp.float32)
     adv = jnp.concatenate([halves, jnp.nextafter(halves, 100.0),
                            jnp.nextafter(halves, -100.0)])
-    x0 = jnp.concatenate([base, adv.reshape(1, -1)], axis=1)
+    edges = jnp.array([-4.2, -3.9, -3.6, 10.6, 10.8, 11.2, 11.4],
+                      jnp.float32)
+    x0 = jnp.concatenate([base, adv.reshape(1, -1),
+                          edges.reshape(1, -1)], axis=1)
     cx = jnp.arange(nxg, dtype=jnp.float32).reshape(nxg, 1) - g
     for off in (0.0, 0.5):
         u = (x0 - cx) - off if off else x0 - cx
@@ -172,10 +180,52 @@ def test_qshape_sparse_matches_dense():
         sparse = _qshape_sparse(x0, off, nxg, g, S, order)
         np.testing.assert_array_equal(
             np.asarray(sparse), np.asarray(dense), err_msg=f"off={off}")
-        # partition of unity in the quantized ring
+        # partition of unity in the quantized ring — holds whenever the
+        # CENTER row is inside the window (the _edge_fold contract);
+        # a center row off the window (x0 below the first cell at
+        # off=0.5) keeps only the placed outer value, same as dense.
+        c = jnp.floor(x0 + 0.5) if off == 0.0 else jnp.floor(x0)
+        cin = ((c + g >= 0) & (c + g <= nxg - 1)).reshape(-1)
         np.testing.assert_array_equal(
-            np.asarray(jnp.sum(sparse, axis=0)),
-            np.full(x0.shape[1], S, np.float32))
+            np.asarray(jnp.sum(sparse, axis=0))[np.asarray(cin)],
+            np.full(int(cin.sum()), S, np.float32))
+
+
+@pytest.mark.parametrize("order", [1, 2])
+def test_ytree_quant_matches_tree(order):
+    """red_mode='ytree' with the quantized gather must produce the same
+    forces as the per-component tree.  Regression for the round-4 advisor
+    high finding: the dense interleaved quant branch (order-1 + int8)
+    applied _qshape's partition fold over all 8*nyg interleaved rows
+    (row sum ~8S), silently corrupting every center row by -7S — forces
+    were off by hundreds.  The branch now builds the interleaved rows
+    from the per-class closed-form fold (_qsparse_vals), which is the
+    dense per-class fold for BOTH orders."""
+    deck, tiling, p, ftiles = _fixture(order=order, guard=4, kchunk=0)
+    kw = dict(
+        qm=-1.0, q=-1.0, order=order,
+        tile_ny=tiling.tile_ny, tile_nx=tiling.tile_nx,
+        origins=_tile_origins(tiling, jnp.float32),
+        g=deck.guard, dt=deck.dt, dx=deck.dx, dy=deck.dy,
+        kchunk=deck.kchunk, backend="pallas", interpret=True,
+        deposit_mode="int8",
+        qw0=-deck.dx * deck.dy / deck.species[0].ppc,
+    )
+    p_t, (jx_t, jy_t, jz_t) = advance_species_tiles(
+        p, ftiles, red_mode="tree", **kw)
+    p_y, (jx_y, jy_y, jz_y) = advance_species_tiles(
+        p, ftiles, red_mode="ytree", **kw)
+    alive = np.asarray(p.w) > 0
+    for name in ("x", "y", "px", "py", "pz"):
+        a = np.where(alive, np.asarray(getattr(p_t, name)), 0)
+        b = np.where(alive, np.asarray(getattr(p_y, name)), 0)
+        np.testing.assert_allclose(b, a, rtol=1e-6, atol=1e-6, err_msg=name)
+    for name, a, b in (("jx", jx_t, jx_y), ("jy", jy_t, jy_y),
+                       ("jz", jz_t, jz_y)):
+        scale = max(1e-12, float(jnp.abs(a).max()))
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=0, atol=3e-6 * scale,
+            err_msg=name)
 
 
 @pytest.mark.parametrize("order", [1, 2])
@@ -233,3 +283,35 @@ def test_int8_deposit_continuity_and_amplitude(order):
     assert abs(sx8 - sxh) < 0.02 * abs(sxh), (sx8, sxh)
     szd = float(jnp.max(jnp.abs(jz8 - jzh)))
     assert szd < 0.05 * max(1e-12, float(jnp.max(jnp.abs(jzh))))
+
+
+@pytest.mark.parametrize("order", [1, 2])
+def test_w_synth_matches_streamed_w(order):
+    """int8 w-stream elision (w synthesized in-kernel from the counts
+    watermark + the uniform w0 prefetch scalar) must be bit-identical to
+    streaming w, on live-compacted buckets — the exact contract the
+    periodic drivers gate on."""
+    deck, tiling, p, ftiles = _fixture(order=order, guard=4, kchunk=0)
+    p = p._replace(w=p.w * 0.5)  # runtime uniform rescale, as a seed would
+    kw = dict(
+        qm=-1.0, q=-1.0, order=order,
+        tile_ny=tiling.tile_ny, tile_nx=tiling.tile_nx,
+        origins=_tile_origins(tiling, jnp.float32),
+        g=deck.guard, dt=deck.dt, dx=deck.dx, dy=deck.dy,
+        kchunk=deck.kchunk, backend="pallas", interpret=True,
+        deposit_mode="int8", wrap=(deck.nx, deck.ny),
+        grid=(deck.nx, deck.ny),
+        qw0=-deck.dx * deck.dy / deck.species[0].ppc,
+    )
+    p_a, (jx_a, jy_a, jz_a) = advance_species_tiles(
+        p, ftiles, w_synth=False, **kw)
+    p_b, (jx_b, jy_b, jz_b) = advance_species_tiles(
+        p, ftiles, w_synth=True, **kw)
+    for name in ("x", "y", "px", "py", "pz", "w"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(p_b, name)), np.asarray(getattr(p_a, name)),
+            err_msg=name)
+    for name, a, b in (("jx", jx_a, jx_b), ("jy", jy_a, jy_b),
+                       ("jz", jz_a, jz_b)):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(a),
+                                      err_msg=name)

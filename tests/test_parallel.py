@@ -100,7 +100,11 @@ def _deck(**kw):
     return Deck(**base)
 
 
-@pytest.mark.parametrize("mesh_shape", [(2, 4), (1, 8), (2, 2)])
+@pytest.mark.parametrize("mesh_shape", [
+    pytest.param((2, 4), marks=pytest.mark.slow),
+    pytest.param((1, 8), marks=pytest.mark.slow),
+    (2, 2),  # the fast-gate representative of the equivalence family
+])
 def test_sharded_matches_single_device(mesh_shape):
     """Same deck, same seed: the sharded run must reproduce the
     single-device run (fields to round-off; particles as multisets)."""
@@ -156,6 +160,7 @@ def test_cross_shard_migration_no_losses():
 
 
 @pytest.mark.parametrize("deposit", ["", "int8"])
+@pytest.mark.slow
 def test_sharded_incremental_rebin_matches_single_device(deposit):
     """Force the movers-only sharded re-bin (Pallas interpret + incremental)
     and compare against the single-device run — the cross-shard version of
@@ -246,6 +251,7 @@ def test_exchange_kills_multi_hop_particles():
 
 
 @pytest.mark.parametrize("mesh_shape", [(2, 2), (1, 4), (1, 8)])
+@pytest.mark.slow
 def test_sharded_deal_route_matches_single_device(mesh_shape):
     """Sharded DEAL-ROUTE re-bin (segment + global static roll whose seam
     ppermutes carry the cross-shard movers, exchange.roll_segments_sharded)
