@@ -800,7 +800,9 @@ def _sub_chunk(
             # same ring.  (Same idea as deposit_mode='kfold' for the f32
             # path; int8's tiny output makes it pay much harder.)
             fold = 1
-            for f_ in (4, 2):
+            import os as _os2
+            want = int(_os2.environ.get("MINIPIC_INT8_FOLD", "0"))
+            for f_ in ((want,) if want in (4, 2) else (4, 2)):
                 # kc/f_ must stay lane-aligned: Mosaic rejects
                 # tpu.concatenate over slices at mixed lane offsets
                 # ("result/input offset mismatch on non-concat dim").
@@ -808,6 +810,11 @@ def _sub_chunk(
                         and 2 * f_ * nyg <= 128 and 2 * f_ * nxg <= 128:
                     fold = f_
                     break
+            if want == 1:
+                # Experiment knob: unfolded direct dot — trades 4x the
+                # MXU array passes for ZERO K-fold operand-build copies
+                # (the fold's concats re-stream every operand byte once).
+                fold = 1
             kq = kc // fold
             sl = [slice(i * kq, (i + 1) * kq) for i in range(fold)]
             lhs8 = jnp.concatenate(
