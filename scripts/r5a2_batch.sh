@@ -29,6 +29,7 @@ run() {
 
 AB="python scripts/ablate_advance.py --order 2 --quick --wsynth"
 
+run "wsynth words=2 (batch-A retry)" env MINIPIC_DEPOSIT_MODE=int8 MINIPIC_GATHER_WORDS=2 $AB --kchunk 0
 run "int8 fold=1" env MINIPIC_DEPOSIT_MODE=int8 MINIPIC_INT8_FOLD=1 $AB --kchunk 0
 run "int8 fold=2" env MINIPIC_DEPOSIT_MODE=int8 MINIPIC_INT8_FOLD=2 $AB --kchunk 0
 run "kchunk 14336" env MINIPIC_DEPOSIT_MODE=int8 $AB --kchunk 14336
