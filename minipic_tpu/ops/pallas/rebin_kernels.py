@@ -945,7 +945,7 @@ def segment_movers(
     movers: ParticleState, *, tile_rows: int, tile_cols: int, tile_ny: int,
     tile_nx: int, b_seg: int, kc: int = 0, interpret: bool = False,
     vma_axes=(), wsplit=None, row0=0, col0=0, grid_rows=None,
-    grid_cols=None,
+    grid_cols=None, packed: bool = False,
 ):
     """Deal-route stage 1: bin each tile's compacted movers by destination
     direction.  Returns (segments ParticleState [T, 8*b_seg] — direction d
@@ -1014,11 +1014,21 @@ def segment_movers(
     )(origin, r3(movers.x), r3(movers.y), r3(movers.px), r3(movers.py),
       r3(movers.pz), r3(movers.w))
     dropped = jnp.sum(seg[:, 6, :9], axis=1).astype(jnp.int32)
-    segments = ParticleState(
+    if packed:
+        # Raw [T, 8ch, 8*b_seg] for append_segments — no per-channel
+        # unpack copies (the fused path reads the channel sublanes
+        # directly; unpack_segments recovers the ParticleState view for
+        # the defrag fallback).
+        return seg, dropped
+    return unpack_segments(seg), dropped
+
+
+def unpack_segments(seg) -> ParticleState:
+    """ParticleState view of segment_movers' packed [T, 8ch, W] output."""
+    return ParticleState(
         x=seg[:, 0], y=seg[:, 1], px=seg[:, 2], py=seg[:, 3], pz=seg[:, 4],
         w=seg[:, 5],
     )
-    return segments, dropped
 
 
 def _defrag_kernel(
@@ -1269,6 +1279,183 @@ def _append_kernel(
     @pl.when(jnp.logical_not(fits))
     def _drop():
         do_ref[0, 0, :] = jnp.full((do_ref.shape[-1],), n_in.astype(jnp.float32))
+
+
+def _append_segments_kernel(
+    wm_ref, nbr_ref,  # scalar-prefetch [T], [T, 8]
+    x_ref, y_ref, px_ref, py_ref, pz_ref, w_ref,  # buckets, HBM (aliased)
+    *rest,
+    b_seg: int, cap: int,
+):
+    """Deal-route stages 2+3 FUSED: the static grid rolls and the
+    watermark append in one kernel, streaming only the watermark slab of
+    each bucket (b_slab = 8*b_seg + 256 slots) instead of the whole
+    bucket, and reading each arrival run straight from its neighbor's
+    segment block via the prefetch-indexed BlockSpecs — the rolled
+    `incoming` array is never materialized in HBM.
+
+    Per-tile HBM traffic vs the unfused pair (_roll_segments +
+    _append_runs_kernel) at the bench geometry (cap 27136, b_seg 768):
+    2*6*cap + 3*6*8*b_seg = 1.44 MB  ->  2*6*b_slab + 8*8*b_seg*4
+    = 0.50 MB.
+
+    Seg blocks arrive as [8ch, b_seg] slices of segment_movers' PACKED
+    output (rows 0..5 = x..w, row 6 = stats, 7 spare) — the per-channel
+    unpack copies are gone too.  Bucket channels are ANY-space aliased
+    refs: the slab is DMA'd VMEM<->HBM at a 128-aligned anchor below the
+    watermark; untouched slots persist via the aliasing (in-place).
+
+    Arrival construction (roll + masked accumulate in direction order)
+    and the watermark/fits/slab math are IDENTICAL to
+    _append_runs_kernel, so the result is bit-equal to the unfused path
+    (asserted in tests/test_deal_route.py)."""
+    seg_refs = rest[:8]  # [1, 8, b_seg] VMEM, direction d from nbr[t, d]
+    xo_ref, yo_ref, pxo_ref, pyo_ref, pzo_ref, wo_ref = rest[8:14]
+    do_ref = rest[14]  # [1, 1, 128] dropped-count output (lane 0)
+    slab_ref, acc_ref, in_sem, out_sem = rest[15:]
+    a_w = 8 * b_seg
+    b_slab = a_w + 256
+    t = pl.program_id(0)
+    wm = wm_ref[t]
+
+    do_ref[...] = jnp.zeros(do_ref.shape, do_ref.dtype)
+
+    # Slab anchor (same math as _append_runs_kernel): o is 128-aligned,
+    # shift < 128 unless the watermark crowds the bucket top, where the
+    # cap - b_slab clamp keeps [wm, wm + n_in) inside the slab whenever
+    # `fits` holds (cap and b_slab are both lane multiples).
+    o = (jnp.minimum(wm, cap - b_slab) // 128) * 128
+    shift = wm - o
+    ins = (x_ref, y_ref, px_ref, py_ref, pz_ref, w_ref)
+    outs = (xo_ref, yo_ref, pxo_ref, pyo_ref, pzo_ref, wo_ref)
+
+    def slab_in(i):
+        return pltpu.make_async_copy(
+            ins[i].at[t, pl.ds(pl.multiple_of(o, 128), b_slab)],
+            slab_ref.at[i], in_sem.at[i],
+        )
+
+    for i in range(6):
+        slab_in(i).start()
+
+    colA = jax.lax.broadcasted_iota(jnp.int32, (1, b_slab), 1)
+    row8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
+    off = jnp.int32(0)
+    for d in range(8):
+        # Rows 6 (stats) and 7 (spare) ride the block; zero them so the
+        # accumulate matches _append_runs_kernel's explicit zero pad.
+        blk = jnp.where(row8 < 6, seg_refs[d][0], 0.0)  # [8, b_seg]
+        n_r = jnp.sum((blk[5:6] > 0).astype(jnp.int32)).astype(jnp.int32)
+        padded = jnp.concatenate(
+            [blk, jnp.zeros((8, b_slab - b_seg), jnp.float32)], axis=1
+        )
+        # off <= d*b_seg, so the rolled run never wraps b_slab.
+        rolled = pltpu.roll(padded, off, 1)
+        sel = (colA >= off) & (colA < off + n_r)
+        acc_ref[...] += jnp.where(sel, rolled, 0.0)
+        off = off + n_r
+
+    n_in = off
+    fits = wm + n_in <= cap - 128
+    idx = o + colA
+    sel2 = (idx >= wm) & (idx < wm + n_in)
+
+    for i in range(6):
+        slab_in(i).wait()
+
+    @pl.when(fits)
+    def _write():
+        for i in range(6):
+            rolled2 = pltpu.roll(acc_ref[i : i + 1, :], shift, 1)
+            slab_ref[i : i + 1, :] = jnp.where(
+                sel2, rolled2, slab_ref[i : i + 1, :]
+            )
+            pltpu.make_async_copy(
+                slab_ref.at[i],
+                outs[i].at[t, pl.ds(pl.multiple_of(o, 128), b_slab)],
+                out_sem.at[i],
+            ).start()
+        for i in range(6):
+            pltpu.make_async_copy(
+                slab_ref.at[i],
+                outs[i].at[t, pl.ds(pl.multiple_of(o, 128), b_slab)],
+                out_sem.at[i],
+            ).wait()
+
+    @pl.when(jnp.logical_not(fits))
+    def _drop():
+        do_ref[0, 0, :] = jnp.full(
+            (do_ref.shape[-1],), n_in.astype(jnp.float32)
+        )
+
+
+def append_segments(
+    p: ParticleState, seg, wm, nbr, *, b_seg: int,
+    interpret: bool = False, vma_axes=(),
+):
+    """Fused deal-route stages 2+3: append each tile's 8 neighbor-segment
+    runs at its bucket watermark, reading the runs in place from
+    segment_movers' PACKED output `seg` [T, 8ch, 8*b_seg] via the static
+    neighbor table `nbr` [T, 8] i32 (nbr[t, d] = flat index of t's
+    (-DIR_OFFSETS[d])-neighbor — the tile whose direction-d segment lands
+    at t).  Bit-equal to _roll_segments + append_runs; touches ~3x fewer
+    HBM bytes.  Returns (p2, dropped [T] i32)."""
+    t_total, cap = p.num_tiles, p.capacity
+    a_w = 8 * b_seg
+    if b_seg % 128:
+        raise ValueError("b_seg % 128 == 0 required")
+    if cap < a_w + 256:
+        raise ValueError(
+            "bucket capacity must be >= segment window + 256 (slab slack)"
+        )
+    if seg.shape != (t_total, N_CH, a_w):
+        raise ValueError(f"seg must be [T, {N_CH}, 8*b_seg], got {seg.shape}")
+
+    pany = pl.BlockSpec(memory_space=pl.ANY)
+    dspec = pl.BlockSpec((1, 1, 128), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+
+    def seg_spec(d):
+        return pl.BlockSpec(
+            (1, N_CH, b_seg),
+            lambda i, wm_ref, nbr_ref, d=d: (nbr_ref[i, d], 0, d),
+            memory_space=pltpu.VMEM,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(t_total,),
+        in_specs=[pany] * 6 + [seg_spec(d) for d in range(8)],
+        out_specs=[pany] * 6 + [dspec],
+        scratch_shapes=[
+            pltpu.VMEM((6, a_w + 256), jnp.float32),
+            pltpu.VMEM((8, a_w + 256), jnp.float32),
+            pltpu.SemaphoreType.DMA((6,)),
+            pltpu.SemaphoreType.DMA((6,)),
+        ],
+    )
+    vma = frozenset(vma_axes) if vma_axes else None
+
+    def sds(shape, dt_):
+        return (jax.ShapeDtypeStruct(shape, dt_, vma=vma) if vma
+                else jax.ShapeDtypeStruct(shape, dt_))
+
+    outs = pl.pallas_call(
+        functools.partial(_append_segments_kernel, b_seg=b_seg, cap=cap),
+        grid_spec=grid_spec,
+        out_shape=[sds((t_total, cap), p.x.dtype)] * 6
+        + [sds((t_total, 1, 128), jnp.float32)],
+        input_output_aliases={2: 0, 3: 1, 4: 2, 5: 3, 6: 4, 7: 5},
+        interpret=interpret,
+    )(
+        wm.astype(jnp.int32), nbr.astype(jnp.int32),
+        p.x, p.y, p.px, p.py, p.pz, p.w,
+        *([seg] * 8),
+    )
+    p2 = ParticleState(*outs[:6])
+    dropped = outs[6][:, 0, 0].astype(jnp.int32)
+    return p2, dropped
 
 
 def _append_runs_kernel(

@@ -21,6 +21,7 @@ segments — dynamic shapes are not available inside jit).
 """
 from __future__ import annotations
 
+import os
 from typing import Tuple
 
 import jax
@@ -221,6 +222,35 @@ def _extract_and_route(p, tiling, mover_cap, interpret):
     return p1, movers, wm, dropped_a, incoming, ovf_small
 
 
+def _seg_neighbor_table(tiling: Tiling):
+    """Static [T, 8] i32 table for the fused append: nbr[t, d] is the flat
+    index of the tile whose direction-d segment lands at tile t — t's
+    (-DIR_OFFSETS[d])-neighbor on the periodic tile grid.  Equivalent to
+    the _roll_segments rolls, expressed as per-tile source indices so
+    append_segments' BlockSpec index maps can fetch runs in place."""
+    import numpy as np
+
+    from ..ops.pallas.rebin_kernels import DIR_OFFSETS
+
+    tr, tc = tiling.tile_rows, tiling.tile_cols
+    r = np.arange(tr)[:, None, None]
+    c = np.arange(tc)[None, :, None]
+    dr = np.array([o[0] for o in DIR_OFFSETS])[None, None, :]
+    dc = np.array([o[1] for o in DIR_OFFSETS])[None, None, :]
+    nbr = ((r - dr) % tr) * tc + (c - dc) % tc  # [tr, tc, 8]
+    return jnp.asarray(nbr.reshape(tr * tc, 8), jnp.int32)
+
+
+def _seg_arrival_counts(seg, nbr, b_seg: int) -> jax.Array:
+    """Per-tile arrival count for the packed segment layout: direction-d
+    arrivals at t are the live slots of nbr[t, d]'s d-th segment run."""
+    t_total = seg.shape[0]
+    cnt = jnp.sum(
+        (seg[:, 5].reshape(t_total, 8, b_seg) > 0).astype(jnp.int32), axis=2
+    )  # [T, 8]
+    return jnp.sum(jnp.take_along_axis(cnt, nbr, axis=0), axis=1)
+
+
 def _roll_segments(seg: ParticleState, tiling: Tiling, b_seg: int) -> ParticleState:
     """Deal-route stage 2: arrivals at tile t, direction d, are the d-th
     segment of t's (-d)-neighbor — a static roll of the tile grid, free of
@@ -275,8 +305,8 @@ def rebin_auto(
     extract-only pass left leavers' slots as holes, forcing the
     merge-defrag on essentially every re-bin at tight headroom)."""
     from ..ops.pallas.rebin_kernels import (
-        append_incoming, append_runs, defrag_buckets, segment_movers,
-        split_buckets,
+        append_incoming, append_runs, append_segments, defrag_buckets,
+        segment_movers, split_buckets, unpack_segments,
     )
 
     p1, movers, wm, pending = split_buckets(
@@ -297,8 +327,14 @@ def rebin_auto(
     # and the rolls are pure copies.  seg_cap == 0 keeps the sort route
     # (non-contiguous layouts, tiny decks).
     use_seg = seg_cap > 0 and p.capacity >= 8 * seg_cap + 256
+    # Fused rolls+append (append_segments) reads arrival runs in place
+    # from the packed segment array via the static neighbor table and
+    # streams only the watermark slab of each bucket — ~3x fewer HBM
+    # bytes than materializing `incoming` (knob for on-chip A/B).
+    fused = use_seg and os.environ.get("MINIPIC_APPEND_FUSED", "1") == "1"
+    incoming = None
     if use_seg:
-        segments, ovf_small_t = segment_movers(
+        seg_raw, ovf_small_t = segment_movers(
             movers,
             tile_rows=tiling.tile_rows,
             tile_cols=tiling.tile_cols,
@@ -306,12 +342,18 @@ def rebin_auto(
             tile_nx=tiling.tile_nx,
             b_seg=seg_cap,
             interpret=interpret,
+            packed=True,
         )
-        incoming = _roll_segments(segments, tiling, seg_cap)
+        nbr = _seg_neighbor_table(tiling)
+        n_in = _seg_arrival_counts(seg_raw, nbr, seg_cap)
+        if not fused:
+            incoming = _roll_segments(
+                unpack_segments(seg_raw), tiling, seg_cap
+            )
         ovf_small = ovf_small_t.sum()
     else:
         incoming, ovf_small = _route(movers, p, tiling, mover_cap)
-    n_in = jnp.sum((incoming.w > 0).astype(jnp.int32), axis=1)
+        n_in = jnp.sum((incoming.w > 0).astype(jnp.int32), axis=1)
     # wm == live stay count (split-compacted).  The watermark append needs
     # 128 lanes of anchor-alignment slack; when any bucket is tighter than
     # that, the merge-defrag pass places arrivals with no slack at all
@@ -319,6 +361,10 @@ def rebin_auto(
     headroom_ok = jnp.all(wm + n_in <= p.capacity - 256)
 
     def fast(pp):
+        if fused:
+            return append_segments(
+                pp, seg_raw, wm, nbr, b_seg=seg_cap, interpret=interpret
+            )
         if use_seg:
             return append_runs(
                 pp, incoming, wm, b_seg=seg_cap, interpret=interpret
@@ -326,8 +372,13 @@ def rebin_auto(
         return append_incoming(pp, incoming, wm, interpret=interpret)
 
     def slow(pp):
+        # The defrag fallback is rare (headroom exhaustion); materialize
+        # the rolled incoming only inside this branch when fused.
+        inc = incoming
+        if inc is None:
+            inc = _roll_segments(unpack_segments(seg_raw), tiling, seg_cap)
         pd, _counts, dropped = defrag_buckets(
-            pp, incoming, interpret=interpret
+            pp, inc, interpret=interpret
         )
         return pd, dropped
 

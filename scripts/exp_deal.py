@@ -7,10 +7,11 @@ import jax.numpy as jnp
 
 from minipic_tpu.core.config import Deck, SpeciesSpec
 from minipic_tpu.particles.binning import (
-    _roll_segments, _route, rebin_auto, wrap_positions,
+    _roll_segments, _route, _seg_neighbor_table, rebin_auto, wrap_positions,
 )
 from minipic_tpu.ops.pallas.rebin_kernels import (
-    append_incoming, append_runs, segment_movers, split_buckets,
+    append_incoming, append_runs, append_segments, segment_movers,
+    split_buckets,
 )
 from minipic_tpu.simulation import Simulation
 
@@ -83,6 +84,31 @@ def main():
     p2, dropb = appf(p1, inc, wm)
     print(f"append_runs       {ta*1e3:8.1f} ms   dropped={int(dropb.sum())}", flush=True)
     print(f"DEAL TOTAL        {(ts+tg+tr_+ta)*1e3:8.1f} ms", flush=True)
+
+    # Fused rolls+append (append_segments): packed segment output, static
+    # neighbor table, slab-only bucket DMA.  MUST be validated on real
+    # hardware, not just interpret: the fused kernel relies on ANY-space
+    # input_output_aliases leaving un-DMA'd bucket slots intact (true
+    # HBM aliasing) — the verify-skill gotcha list exists because
+    # aliasing semantics only show on chip.
+    segpf = jax.jit(lambda m: segment_movers(
+        m, tile_rows=t.tile_rows, tile_cols=t.tile_cols, tile_ny=t.tile_ny,
+        tile_nx=t.tile_nx, b_seg=sc, packed=True))
+    tgp = timeit(segpf, movers)
+    seg_raw, _sd = segpf(movers)
+    nbr = _seg_neighbor_table(t)
+    fusedf = jax.jit(lambda q, s, w: append_segments(q, s, w, nbr, b_seg=sc))
+    tf = timeit(fusedf, p1, seg_raw, wm)
+    p2f, dropf = fusedf(p1, seg_raw, wm)
+    eq = all(bool(jnp.array_equal(a, b).item())
+             for a, b in zip(tuple(p2), tuple(p2f)))
+    print(f"segment(packed)   {tgp*1e3:8.1f} ms", flush=True)
+    print(f"append_segments   {tf*1e3:8.1f} ms   dropped={int(dropf.sum())}"
+          f"   BITEXACT={eq}", flush=True)
+    print(f"DEAL TOTAL(fused) {(ts+tgp+tf)*1e3:8.1f} ms", flush=True)
+    if not eq:
+        raise SystemExit("FUSED APPEND MISMATCH vs unfused deal route")
+    del p2f, dropf, seg_raw
 
     # conservation cross-check on chip (before freeing buffers)
     live_before = int(jnp.sum((p.w > 0).astype(jnp.int32)))

@@ -73,6 +73,25 @@ def test_deal_route_matches_sort_route_exactly(seg_cap, seg_kc, monkeypatch):
         np.testing.assert_array_equal(ra, rb, err_msg=f"bucket {i}")
 
 
+def test_fused_append_segments_bitexact_vs_unfused(monkeypatch):
+    """append_segments (fused rolls+append, slab-only bucket DMA) must be
+    BIT-equal to _roll_segments + append_runs — same arrival order, same
+    watermark slab math, per-slot equality (not just canonical sets)."""
+    deck, p = _blasted_state(seed=7)
+    t = deck.tiling
+    mc = deck.mover_cap(p.capacity)
+    monkeypatch.setenv("MINIPIC_APPEND_FUSED", "0")
+    a, da, pa = rebin_auto(p, t, mc, interpret=True, seg_cap=256)
+    monkeypatch.setenv("MINIPIC_APPEND_FUSED", "1")
+    b, db, pb = rebin_auto(p, t, mc, interpret=True, seg_cap=256)
+    assert int(da) == int(db) == 0
+    assert int(pa) == int(pb)
+    for name, ra, rb in zip(a._fields, tuple(a), tuple(b)):
+        np.testing.assert_array_equal(
+            np.asarray(ra), np.asarray(rb), err_msg=f"channel {name}"
+        )
+
+
 def test_deal_route_boundary_positions_survive():
     """Positions one float below the periodic box edge (which round UP in
     bf16) must come through the deal route bit-exact — regression for the
