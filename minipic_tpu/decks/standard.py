@@ -158,13 +158,15 @@ def laser_plasma(nx: int = 512, ny: int = 512, ppc: int = 4) -> Case:
         return 0.05 * 0.5 * (1.0 + jnp.tanh((x - 15.0) / 2.0))
 
     deck = Deck(
-        # Fused-gather geometry + whole-bucket chunks; stays on the
-        # f32-exact deposit — the slab is WEIGHT-loaded (graded particle
-        # weights along the ramp), so q*w does not factor out of the
-        # contraction and int8 is ineligible by design (the runtime
-        # weight guard would reject it).
-        box_x=box, box_y=box, nx=nx, ny=ny, tile_nx=8, tile_ny=8,
-        guard=4, kchunk=0,
+        # Stays on the f32-exact deposit — the slab is WEIGHT-loaded
+        # (graded particle weights along the ramp), so q*w does not
+        # factor out of the contraction and int8 is ineligible by
+        # design (the runtime weight guard would reject it).  Keeps the
+        # round-4 16x16/kchunk-256 geometry: the 8x8+guard-4
+        # fused-gather config only pays for the int8 path, and this
+        # deck measured SLOWER there (18.8 vs 15.2 ms/step,
+        # docs/R5_BATCH.log batch C vs the round-4 table).
+        box_x=box, box_y=box, nx=nx, ny=ny, tile_nx=16, tile_ny=16,
         species=(
             SpeciesSpec("ele", charge=-1.0, mass=1.0, ppc=ppc, uth=0.01, density=slab),
             SpeciesSpec("ion", charge=+1.0, mass=1836.0, ppc=ppc, density=slab),

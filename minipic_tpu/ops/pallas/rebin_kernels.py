@@ -1282,7 +1282,7 @@ def _append_kernel(
 
 
 def _append_segments_kernel(
-    wm_ref, nbr_ref,  # scalar-prefetch [T], [T, 8]
+    wm_ref, nbr_ref,  # scalar-prefetch [T], [8, T] (transposed, see seg_spec)
     x_ref, y_ref, px_ref, py_ref, pz_ref, w_ref,  # buckets, HBM (aliased)
     *rest,
     b_seg: int, cap: int,
@@ -1302,8 +1302,14 @@ def _append_segments_kernel(
     Seg blocks arrive as [8ch, b_seg] slices of segment_movers' PACKED
     output (rows 0..5 = x..w, row 6 = stats, 7 spare) — the per-channel
     unpack copies are gone too.  Bucket channels are ANY-space aliased
-    refs: the slab is DMA'd VMEM<->HBM at a 128-aligned anchor below the
-    watermark; untouched slots persist via the aliasing (in-place).
+    refs in the [T, 1, cap] view (tile axis = untiled batch dim): the
+    slab is DMA'd VMEM<->HBM as a LANE slice at a 128-aligned anchor
+    below the watermark; untouched slots persist via the aliasing
+    (in-place).  The view matters on real TPU: a [T, cap] 2D memref is
+    (8,128)-tiled along T, and Mosaic rejects single-row slices of a
+    tiled dim ("slice shape along dimension 0 must be aligned to
+    tiling (8)") — interpret mode does not model this, so only on-chip
+    runs catch it (docs/R5_BATCH.log batch C).
 
     Arrival construction (roll + masked accumulate in direction order)
     and the watermark/fits/slab math are IDENTICAL to
@@ -1331,7 +1337,7 @@ def _append_segments_kernel(
 
     def slab_in(i):
         return pltpu.make_async_copy(
-            ins[i].at[t, pl.ds(pl.multiple_of(o, 128), b_slab)],
+            ins[i].at[t, :, pl.ds(pl.multiple_of(o, 128), b_slab)],
             slab_ref.at[i], in_sem.at[i],
         )
 
@@ -1368,18 +1374,16 @@ def _append_segments_kernel(
     def _write():
         for i in range(6):
             rolled2 = pltpu.roll(acc_ref[i : i + 1, :], shift, 1)
-            slab_ref[i : i + 1, :] = jnp.where(
-                sel2, rolled2, slab_ref[i : i + 1, :]
-            )
+            slab_ref[i] = jnp.where(sel2, rolled2, slab_ref[i])
             pltpu.make_async_copy(
                 slab_ref.at[i],
-                outs[i].at[t, pl.ds(pl.multiple_of(o, 128), b_slab)],
+                outs[i].at[t, :, pl.ds(pl.multiple_of(o, 128), b_slab)],
                 out_sem.at[i],
             ).start()
         for i in range(6):
             pltpu.make_async_copy(
                 slab_ref.at[i],
-                outs[i].at[t, pl.ds(pl.multiple_of(o, 128), b_slab)],
+                outs[i].at[t, :, pl.ds(pl.multiple_of(o, 128), b_slab)],
                 out_sem.at[i],
             ).wait()
 
@@ -1417,9 +1421,13 @@ def append_segments(
                          memory_space=pltpu.VMEM)
 
     def seg_spec(d):
+        # nbr arrives TRANSPOSED [8, T]: SMEM prefetch operands are
+        # lane-padded to 128 in the minor dim, so [T, 8] would cost
+        # T*128 i32 (2 MB at T=4096 — over the 1 MB SMEM budget, seen
+        # on chip in batch D) while [8, T] stays at the true 131 KB.
         return pl.BlockSpec(
             (1, N_CH, b_seg),
-            lambda i, wm_ref, nbr_ref, d=d: (nbr_ref[i, d], 0, d),
+            lambda i, wm_ref, nbr_ref, d=d: (nbr_ref[d, i], 0, d),
             memory_space=pltpu.VMEM,
         )
 
@@ -1429,7 +1437,7 @@ def append_segments(
         in_specs=[pany] * 6 + [seg_spec(d) for d in range(8)],
         out_specs=[pany] * 6 + [dspec],
         scratch_shapes=[
-            pltpu.VMEM((6, a_w + 256), jnp.float32),
+            pltpu.VMEM((6, 1, a_w + 256), jnp.float32),
             pltpu.VMEM((8, a_w + 256), jnp.float32),
             pltpu.SemaphoreType.DMA((6,)),
             pltpu.SemaphoreType.DMA((6,)),
@@ -1441,19 +1449,24 @@ def append_segments(
         return (jax.ShapeDtypeStruct(shape, dt_, vma=vma) if vma
                 else jax.ShapeDtypeStruct(shape, dt_))
 
+    def r3(a):
+        # [T, 1, cap] view: tile axis as untiled batch dim so the
+        # in-kernel slab DMA slices along lanes (see kernel docstring).
+        return a.reshape(t_total, 1, cap)
+
     outs = pl.pallas_call(
         functools.partial(_append_segments_kernel, b_seg=b_seg, cap=cap),
         grid_spec=grid_spec,
-        out_shape=[sds((t_total, cap), p.x.dtype)] * 6
+        out_shape=[sds((t_total, 1, cap), p.x.dtype)] * 6
         + [sds((t_total, 1, 128), jnp.float32)],
         input_output_aliases={2: 0, 3: 1, 4: 2, 5: 3, 6: 4, 7: 5},
         interpret=interpret,
     )(
-        wm.astype(jnp.int32), nbr.astype(jnp.int32),
-        p.x, p.y, p.px, p.py, p.pz, p.w,
+        wm.astype(jnp.int32), nbr.astype(jnp.int32).T,
+        r3(p.x), r3(p.y), r3(p.px), r3(p.py), r3(p.pz), r3(p.w),
         *([seg] * 8),
     )
-    p2 = ParticleState(*outs[:6])
+    p2 = ParticleState(*(a.reshape(t_total, cap) for a in outs[:6]))
     dropped = outs[6][:, 0, 0].astype(jnp.int32)
     return p2, dropped
 

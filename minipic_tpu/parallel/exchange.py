@@ -144,14 +144,20 @@ def roll_segments_sharded(
     the mover-pool routing sort in the sharded incremental re-bin: the
     cross-shard movers ARE the seam strips.
 
-    segments: [T_local, 8*b_seg] per channel, direction d at columns
-    [d*b_seg, (d+1)*b_seg) (rebin_kernels.segment_movers layout).
-    Returns `incoming` in the same layout, ready for append_runs.
+    segments: PACKED [T_local, 8ch, 8*b_seg] (segment_movers(packed=True)
+    layout — rows 0..5 = x..w, 6 = stats, 7 spare), direction d at
+    columns [d*b_seg, (d+1)*b_seg).  Returns `incoming` in the same
+    packed layout, ready for append_segments with an identity neighbor
+    table (the roll already moved every run to its destination tile, so
+    the fused append just merges each tile's own 8 runs at the
+    watermark, slab-only).  The stats/spare rows ride the roll to wrong
+    tiles, which is harmless — the append kernel zeroes rows 6..7 and
+    the per-direction drop counts were summed before the roll.
     """
-    from ..ops.pallas.rebin_kernels import DIR_OFFSETS
+    from ..ops.pallas.rebin_kernels import DIR_OFFSETS, N_CH
 
-    chans = jnp.stack(tuple(segments))  # [6, T_local, 8*b_seg]
-    seg5 = chans.reshape(_NF, ltr, ltc, 8, b_seg)
+    chans = segments.transpose(1, 0, 2)  # [8ch, T_local, 8*b_seg]
+    seg5 = chans.reshape(N_CH, ltr, ltc, 8, b_seg)
     # Pass 1: tile-column axis.  parts[d] <- local col-roll by dc.
     parts = [
         jnp.roll(seg5[:, :, :, d], dc, axis=2) if dc else seg5[:, :, :, d]
@@ -182,5 +188,5 @@ def roll_segments_sharded(
             recv = _shift(edge, "ry", up=(sign == -1), n=rows)
             for k, d in enumerate(ds):
                 parts[d] = parts[d].at[:, seam].set(recv[k])
-    out = jnp.stack(parts, axis=3)  # [6, ltr, ltc, 8, b_seg]
-    return ParticleState(*out.reshape(_NF, ltr * ltc, 8 * b_seg))
+    out = jnp.stack(parts, axis=3)  # [8ch, ltr, ltc, 8, b_seg]
+    return out.reshape(N_CH, ltr * ltc, 8 * b_seg).transpose(1, 0, 2)

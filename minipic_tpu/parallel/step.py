@@ -18,6 +18,7 @@ scalars (the reference's rank-0 prints, minus the rank).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -301,10 +302,16 @@ def build_sharded_step(deck: Deck, mesh: Mesh):
                 Deferred tiles (pending) lose nothing — the step keeps the
                 drift budget hot and the next step drains them."""
                 from ..ops.pallas.rebin_kernels import (
-                    append_incoming, append_runs, defrag_buckets,
-                    segment_movers, split_buckets,
+                    append_incoming, append_runs, append_segments,
+                    defrag_buckets, segment_movers, split_buckets,
+                    unpack_segments,
                 )
                 from .exchange import roll_segments_sharded
+
+                # Same gate as binning.rebin_auto (fused append
+                # on-chip-validated in batch D2); the packed roll
+                # itself is pure XLA and stays either way.
+                fused = os.environ.get("MINIPIC_APPEND_FUSED", "1") == "1"
 
                 p1, movers, wm, pending = split_buckets(
                     pp,
@@ -319,8 +326,9 @@ def build_sharded_step(deck: Deck, mesh: Mesh):
                     force=force_flag,
                     vma_axes=("ry", "rx"),
                 )
+                inc_packed = None
                 if use_seg:
-                    segments, seg_drop = segment_movers(
+                    seg_raw, seg_drop = segment_movers(
                         movers,
                         tile_rows=ltr,
                         tile_cols=ltc,
@@ -333,11 +341,19 @@ def build_sharded_step(deck: Deck, mesh: Mesh):
                         col0=tcol0,
                         grid_rows=tiling.tile_rows,
                         grid_cols=tiling.tile_cols,
+                        packed=True,
                     )
-                    incoming = roll_segments_sharded(
-                        segments, ltr=ltr, ltc=ltc, rows=rows, cols=cols,
+                    # Packed roll: the seam ppermutes deliver every run to
+                    # its destination tile, so the fused append (identity
+                    # neighbor table) merges slab-only — the sharded route
+                    # gets the same full-bucket-stream removal as the
+                    # single-device path.
+                    inc_packed = roll_segments_sharded(
+                        seg_raw, ltr=ltr, ltc=ltc, rows=rows, cols=cols,
                         b_seg=sc,
                     )
+                    incoming = (None if fused
+                                else unpack_segments(inc_packed))
                     # No exchange on this route; keep the vma typing of
                     # the legacy route's (ppermute-derived) count.
                     dropped_x = lax.pcast(
@@ -355,15 +371,28 @@ def build_sharded_step(deck: Deck, mesh: Mesh):
                         row0=trow0,
                         col0=tcol0,
                     )
-                n_in = jnp.sum((incoming.w > 0).astype(jnp.int32), axis=1)
+                if use_seg:
+                    n_in = jnp.sum(
+                        (inc_packed[:, 5] > 0).astype(jnp.int32), axis=1)
+                else:
+                    n_in = jnp.sum((incoming.w > 0).astype(jnp.int32), axis=1)
                 ok_local = jnp.all(wm + n_in <= pp.capacity - 256)
                 ok = lax.psum(ok_local.astype(jnp.int32), ("ry", "rx")) == rows * cols
 
                 def fast(_):
+                    if use_seg and fused:
+                        nbr_id = jnp.broadcast_to(
+                            jnp.arange(p1.num_tiles, dtype=jnp.int32)[:, None],
+                            (p1.num_tiles, 8),
+                        )
+                        return append_segments(
+                            p1, inc_packed, wm, nbr_id, b_seg=sc,
+                            interpret=interpret, vma_axes=("ry", "rx"),
+                        )
                     if use_seg:
                         return append_runs(
-                            p1, incoming, wm, b_seg=sc, interpret=interpret,
-                            vma_axes=("ry", "rx"),
+                            p1, incoming, wm, b_seg=sc,
+                            interpret=interpret, vma_axes=("ry", "rx"),
                         )
                     p2, db = append_incoming(
                         p1, incoming, wm, interpret=interpret, vma_axes=("ry", "rx")
@@ -371,8 +400,10 @@ def build_sharded_step(deck: Deck, mesh: Mesh):
                     return p2, db
 
                 def slow(_):
+                    inc = (unpack_segments(inc_packed)
+                           if use_seg and fused else incoming)
                     pd, _counts, dd = defrag_buckets(
-                        p1, incoming, interpret=interpret, vma_axes=("ry", "rx")
+                        p1, inc, interpret=interpret, vma_axes=("ry", "rx")
                     )
                     return pd, dd
 

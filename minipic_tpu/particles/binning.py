@@ -331,6 +331,13 @@ def rebin_auto(
     # from the packed segment array via the static neighbor table and
     # streams only the watermark slab of each bucket — ~3x fewer HBM
     # bytes than materializing `incoming` (knob for on-chip A/B).
+    # On-chip validation (docs/R5_BATCH.log batch D/D2): bit-equal to
+    # the unfused route on hardware, bench 1.0455e9 vs 1.0357e9
+    # unfused.  Two hardware-only constraints shaped the kernel — the
+    # slab DMA needs the [T, 1, cap] bucket view (Mosaic rejects 1-row
+    # slices of a (8,128)-tiled dim) and the neighbor table prefetch
+    # must be [8, T] (SMEM lane-padding) — neither visible in
+    # interpret mode.
     fused = use_seg and os.environ.get("MINIPIC_APPEND_FUSED", "1") == "1"
     incoming = None
     if use_seg:

@@ -51,6 +51,7 @@ def main():
     p = p._replace(x=jnp.where(p.w > 0, p.x + dx_, p.x),
                    y=jnp.where(p.w > 0, p.y + dy_, p.y))
     p = jax.jit(lambda q: wrap_positions(q, deck.nx, deck.ny, True))(p)
+    del dx_, dy_  # 2.7 GB of blast noise — dead once applied
 
     mc = deck.mover_cap(p.capacity)
     sc = deck.mover_seg_cap(mc)
@@ -61,6 +62,11 @@ def main():
         tile_nx=t.tile_nx, b_cap=mc))
     ts = timeit(splitf, p)
     p1, movers, wm, pend = splitf(p)
+    # p is only needed for the conservation count — free it now (2.7 GB;
+    # the fused leg OOMed at 1e8 with p + p1 + p2 + fused outputs live,
+    # docs/R5_BATCH.log batch D2).
+    live_before = int(jnp.sum((p.w > 0).astype(jnp.int32)))
+    del p
     n_mov = jnp.sum((movers.w > 0).astype(jnp.int32), axis=1)
     print(f"split             {ts*1e3:8.1f} ms   movers/tile max={int(n_mov.max())} mean={float(n_mov.mean()):.0f} pend={int(pend.sum())}", flush=True)
 
@@ -78,12 +84,14 @@ def main():
     tr_ = timeit(rollf, seg)
     inc = rollf(seg)
     print(f"rolls             {tr_*1e3:8.1f} ms", flush=True)
+    del seg, segw
 
     appf = jax.jit(lambda q, i, w: append_runs(q, i, w, b_seg=sc))
     ta = timeit(appf, p1, inc, wm)
     p2, dropb = appf(p1, inc, wm)
     print(f"append_runs       {ta*1e3:8.1f} ms   dropped={int(dropb.sum())}", flush=True)
     print(f"DEAL TOTAL        {(ts+tg+tr_+ta)*1e3:8.1f} ms", flush=True)
+    del inc, dropb
 
     # Fused rolls+append (append_segments): packed segment output, static
     # neighbor table, slab-only bucket DMA.  MUST be validated on real
@@ -110,8 +118,7 @@ def main():
         raise SystemExit("FUSED APPEND MISMATCH vs unfused deal route")
     del p2f, dropf, seg_raw
 
-    # conservation cross-check on chip (before freeing buffers)
-    live_before = int(jnp.sum((p.w > 0).astype(jnp.int32)))
+    # conservation cross-check on chip (live_before counted pre-split)
     live_after = int(jnp.sum((p2.w > 0).astype(jnp.int32)))
     print(f"live before/after deal: {live_before} {live_after} "
           f"(pend {int(pend.sum())})", flush=True)
@@ -120,7 +127,7 @@ def main():
     # sets are live by here (~2.6 GB each) and the _route sort OOMed the
     # chip (docs/R4_BATCH.log, RESOURCE_EXHAUSTED) — free everything the
     # baseline doesn't need and keep it non-fatal.
-    del p, p2, dropb, inc, seg, segw
+    del p2
     try:
         routef = jax.jit(lambda m, q: _route(m, q, t, mc))
         tro = timeit(routef, movers, p1)

@@ -26,8 +26,16 @@ run() {
   sleep 20
 }
 
+AB="python scripts/ablate_advance.py --order 2 --quick --wsynth"
+
+run "rowshape microbench" python scripts/exp_rowshape.py
+run "int8 fold=2 (A2b retry)" env MINIPIC_DEPOSIT_MODE=int8 MINIPIC_INT8_FOLD=2 $AB --kchunk 0
+run "kchunk 14336 (A2b retry)" env MINIPIC_DEPOSIT_MODE=int8 $AB --kchunk 14336
+run "kchunk 7168 (A2b retry)"  env MINIPIC_DEPOSIT_MODE=int8 $AB --kchunk 7168
+run "kchunk 4096 (A2b retry)"  env MINIPIC_DEPOSIT_MODE=int8 $AB --kchunk 4096
 run "exp_deal fused append" python scripts/exp_deal.py
 run "perf_probe fused defaults" python scripts/perf_probe.py
 run "bench 100-step fused" python bench.py
+run "per-deck table (fast deck defaults)" python scripts/bench_decks.py
 
 echo "=== r5 batch C done $(date -u +%H:%M:%S)" >> $LOG

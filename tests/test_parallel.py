@@ -250,15 +250,21 @@ def test_exchange_kills_multi_hop_particles():
     assert int(misrouted) == 0
 
 
-@pytest.mark.parametrize("mesh_shape", [(2, 2), (1, 4), (1, 8)])
+@pytest.mark.parametrize("mesh_shape,fused", [
+    ((2, 2), "0"), ((1, 4), "0"), ((1, 8), "0"),
+    # One fused-append combo: the packed roll + append_segments sharded
+    # path (identity neighbor table) — opt-in on chip, see binning.py.
+    ((2, 2), "1"),
+])
 @pytest.mark.slow
-def test_sharded_deal_route_matches_single_device(mesh_shape):
+def test_sharded_deal_route_matches_single_device(mesh_shape, fused, monkeypatch):
     """Sharded DEAL-ROUTE re-bin (segment + global static roll whose seam
     ppermutes carry the cross-shard movers, exchange.roll_segments_sharded)
     vs the single-device deal route: same deck, same seed, exact particle
     multisets.  The deck is sized so the seg gate engages (capacity >=
     8*seg_cap + 256) — asserted, so a future gate change can't silently
     turn this back into a legacy-route test."""
+    monkeypatch.setenv("MINIPIC_APPEND_FUSED", fused)
     deck = _deck(
         mesh_shape=mesh_shape,
         use_pallas="on",
